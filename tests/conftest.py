@@ -1,0 +1,20 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM small
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from tilemaker_spark.session import get_spark
+    s = get_spark("tilemaker_spark_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")

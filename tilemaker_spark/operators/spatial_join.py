@@ -1,0 +1,235 @@
+"""Spatial joins — cell-cover equi-joins + exact geometric post-filters.
+
+Replaces the reference's R-tree + z15 bit-grid probes
+(/root/reference/src/shp_mem_tiles.cpp:21-127; Lua-facing API
+src/osm_lua_processing.cpp:377-470) with the Spark-native decomposition:
+
+    explode both sides to z15-equivalent cell ids  (same resolution as
+    the reference's spatialIndexZoom, src/shp_mem_tiles.cpp:12)
+    -> cell equi-join (the prefilter; Catalyst/AQE pick broadcast or
+       shuffled hash; skewed cells handled by AQE skew-join)
+    -> exact numpy predicate in a vectorized check
+    -> semantics:  Intersects      = left-semi
+                   FindIntersecting = inner + collect_set(name)
+                   CoveredBy/FindCovering = covered_by predicate
+                   AreaIntersecting = sum of intersection areas
+
+Plus the two mandated extensions with no reference analog:
+    kNN nearest-feature (J10)  — cell-ring expansion + window top-k
+    raster<->vector coverage (J11) — tile-grid cells as the raster
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tilemaker_spark.functions import geomnp as G
+from tilemaker_spark.functions.coords import (
+    lat2latp_col,
+    lat2latp_np,
+    latp2tiley_col,
+    lon2tilex_col,
+    tilex2lon,
+    tiley2latp,
+)
+
+SPATIAL_INDEX_ZOOM = 15  # reference spatialIndexZoom (src/shp_mem_tiles.cpp:12)
+
+
+# ------------------------------------------------------------ cell cover
+
+def polygon_cells(polygons: DataFrame, zoom: int = SPATIAL_INDEX_ZOOM,
+                  rings_col: str = "rings", lat_in_rings: bool = True) -> DataFrame:
+    """Explode the build side (layer_polygons) to covering cells.
+
+    rings are flat [x,y,...] in (lon, lat) fixture convention; cover uses
+    (lon, latp) so we project inside the UDF.
+    """
+
+    @pandas_udf("array<array<long>>")
+    def cover(rings: pd.Series) -> pd.Series:
+        out = []
+        for parts in rings:
+            parts_np = []
+            for p in parts:
+                a = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                if lat_in_rings:
+                    a = np.column_stack([a[:, 0], lat2latp_np(a[:, 1])])
+                parts_np.append(a)
+            tiles, bbox = G.cover_geometry(G.GEOM_POLYGON, parts_np, zoom)
+            if bbox is not None:
+                minx, miny, maxx, maxy = bbox
+                tiles = [(x, y) for x in range(minx, maxx + 1)
+                         for y in range(miny, maxy + 1)]
+            out.append([[t[0], t[1]] for t in sorted(tiles)])
+        return pd.Series(out)
+
+    return (polygons
+            .withColumn("_cells", cover(F.col(rings_col)))
+            .select("*", F.explode("_cells").alias("_c"))
+            .withColumn("cell_x", F.element_at("_c", 1))
+            .withColumn("cell_y", F.element_at("_c", 2))
+            .drop("_cells", "_c"))
+
+
+def point_cells(points: DataFrame, zoom: int = SPATIAL_INDEX_ZOOM,
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Cell id for point probes — pure Column math (codegen)."""
+    return (points
+            .withColumn("cell_x", lon2tilex_col(F.col(lon_col), zoom))
+            .withColumn("cell_y", latp2tiley_col(lat2latp_col(F.col(lat_col)), zoom)))
+
+
+# ------------------------------------------------- point-in-polygon (J3)
+
+def points_in_polygons(points: DataFrame, polygons: DataFrame,
+                       point_id: str = "doc_id",
+                       zoom: int = SPATIAL_INDEX_ZOOM,
+                       broadcast_polygons: bool = True) -> DataFrame:
+    """FindIntersecting for point probes: (point columns..., name).
+
+    Cell equi-join prunes candidates; exact even-odd ray cast confirms.
+    With a small build side (country polygons), the cell table is
+    broadcast — zero shuffle on the big probe side.
+    """
+    pc = point_cells(points, zoom)
+    polyc = polygon_cells(polygons, zoom).select(
+        "name", "rings", "cell_x", "cell_y")
+    if broadcast_polygons:
+        polyc = F.broadcast(polyc)
+    cand = pc.join(polyc, ["cell_x", "cell_y"], "inner")
+
+    @pandas_udf("boolean")
+    def pip(lon: pd.Series, lat: pd.Series, rings: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lons = lon.to_numpy(dtype=np.float64)
+        lats = lat.to_numpy(dtype=np.float64)
+        for i, parts in enumerate(rings):
+            parts_np = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                        for p in parts]
+            out[i] = bool(G.points_in_polygon(lons[i:i + 1], lats[i:i + 1],
+                                              parts_np)[0])
+        return pd.Series(out)
+
+    return (cand.filter(pip(F.col("lon"), F.col("lat"), F.col("rings")))
+            .drop("rings", "cell_x", "cell_y"))
+
+
+def geoms_intersecting_polygons(features: DataFrame, polygons: DataFrame,
+                                zoom: int = SPATIAL_INDEX_ZOOM,
+                                predicate: str = "intersects") -> DataFrame:
+    """J3/J4 for line/polygon probes: feature rows + matched polygon name.
+
+    predicate: 'intersects' (geom::intersects) or 'covered_by'
+    (geom::covered_by, reference src/osm_lua_processing.cpp:377-470).
+    Feature geom is (lon, latp); polygon rings are (lon, lat).
+    """
+    from tilemaker_spark.operators.tiling import cover_explode
+    fc = cover_explode(features, zoom).withColumnRenamed("x", "cell_x") \
+        .withColumnRenamed("y", "cell_y").drop("z")
+    polyc = F.broadcast(polygon_cells(polygons, zoom)
+                        .select("name", "rings", "cell_x", "cell_y"))
+    cand = (fc.join(polyc, ["cell_x", "cell_y"], "inner")
+            .dropDuplicates(["feature_id", "name"]))
+
+    pred_fn = (G.geom_intersects_polygon if predicate == "intersects"
+               else G.geom_covered_by_polygon)
+
+    @pandas_udf("boolean")
+    def check(geom_type: pd.Series, geom: pd.Series, rings: pd.Series) -> pd.Series:
+        out = np.zeros(len(geom), dtype=bool)
+        for i, (gt, parts, prings) in enumerate(zip(geom_type, geom, rings)):
+            parts_np = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                        for p in parts]
+            rings_np = []
+            for p in prings:
+                a = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                rings_np.append(np.column_stack([a[:, 0], lat2latp_np(a[:, 1])]))
+            out[i] = pred_fn(int(gt), parts_np, rings_np)
+        return pd.Series(out)
+
+    return (cand.filter(check(F.col("geom_type"), F.col("geom"), F.col("rings")))
+            .drop("rings", "cell_x", "cell_y"))
+
+
+# ----------------------------------------------------------- kNN (J10)
+
+def knn_points(probes: DataFrame, targets: DataFrame, k: int,
+               probe_id: str = "probe_id", target_id: str = "target_id",
+               cell_zoom: int = 10) -> DataFrame:
+    """k nearest target points for each probe point (no reference analog;
+    mandated extension).
+
+    Strategy: equi-join on coarse cells expanded by one ring (3x3
+    neighborhood) — each probe meets only targets in its own or adjacent
+    cells — then exact haversine distance + row_number window. The ring
+    radius must exceed the k-th NN distance; callers pick cell_zoom so a
+    cell is larger than the expected kNN radius (z10 cell ~ 40 km).
+    Returns (probe_id, target_id, dist_m, rank).
+    """
+    p = point_cells(probes, cell_zoom)
+    # expand probes into the 3x3 cell neighborhood
+    ring = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dx")
+    p = p.select("*", ring)
+    p = p.select("*", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dy"))
+    p = (p.withColumn("cell_x", F.col("cell_x") + F.col("_dx"))
+         .withColumn("cell_y", F.col("cell_y") + F.col("_dy"))
+         .drop("_dx", "_dy"))
+    t = point_cells(
+        targets.withColumnRenamed("lon", "t_lon").withColumnRenamed("lat", "t_lat"),
+        cell_zoom, lon_col="t_lon", lat_col="t_lat")
+    cand = p.join(t, ["cell_x", "cell_y"], "inner")
+
+    # exact haversine in Column math (codegen, no UDF)
+    rlat1 = F.radians(F.col("lat"))
+    rlat2 = F.radians(F.col("t_lat"))
+    dlat = rlat2 - rlat1
+    dlon = F.radians(F.col("t_lon")) - F.radians(F.col("lon"))
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    dist = F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+    cand = cand.withColumn("dist_m", dist).dropDuplicates([probe_id, target_id])
+
+    w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(), F.col(target_id))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(probe_id, target_id, "dist_m", "rank"))
+
+
+# ---------------------------------------------- raster<->vector (J11)
+
+def raster_coverage(polygons: DataFrame, zoom: int = 8) -> DataFrame:
+    """Coverage of a tile-grid 'raster' by each polygon: for every raster
+    cell the polygon touches, the fraction of the cell covered.
+
+    Returns (name, z, cell_x, cell_y, coverage_frac). Exact for any
+    polygon: |poly ∩ cell| via Sutherland-Hodgman clip area over cell
+    area, in (lon, latp) space.
+    """
+    polyc = polygon_cells(polygons, zoom)
+
+    @pandas_udf("double")
+    def cover_frac(rings: pd.Series, cx: pd.Series, cy: pd.Series) -> pd.Series:
+        out = np.zeros(len(rings))
+        for i, (parts, x, y) in enumerate(zip(rings, cx, cy)):
+            x, y = int(x), int(y)
+            box = (tilex2lon(x, zoom), tiley2latp(y + 1, zoom),
+                   tilex2lon(x + 1, zoom), tiley2latp(y, zoom))
+            parts_np = []
+            for p in parts:
+                a = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                parts_np.append(np.column_stack([a[:, 0], lat2latp_np(a[:, 1])]))
+            inter = G.intersection_area_with_box(parts_np, box)
+            cell_area = (box[2] - box[0]) * (box[3] - box[1])
+            out[i] = inter / cell_area if cell_area > 0 else 0.0
+        return pd.Series(out)
+
+    return (polyc
+            .withColumn("z", F.lit(zoom))
+            .withColumn("coverage_frac",
+                        cover_frac(F.col("rings"), F.col("cell_x"), F.col("cell_y")))
+            .filter(F.col("coverage_frac") > 0)
+            .select("name", "z", "cell_x", "cell_y", "coverage_frac"))

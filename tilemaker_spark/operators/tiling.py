@@ -1,0 +1,171 @@
+"""Feature-to-tile assignment (J6), zoom rollup (A6), limits and skew tools.
+
+Replaces the reference's mutable two-tier tile index
+(/root/reference/include/tile_data.h:22-53, src/tile_data.cpp:429-542)
+with an immutable ``feature_tiles(z, x, y, feature_id)`` DataFrame:
+
+  * points    — pure Column math (whole-stage codegen, no Python),
+  * lines     — supercover Bresenham in an Arrow pandas UDF -> explode,
+  * polygons  — supercover + scanline fill; covers >= 16 tiles take the
+    reference's large-object path (src/tile_data.cpp:500-533): assignment
+    to every tile of the cover's bbox, realized as a bounded
+    sequence-explode instead of an R-tree probe.
+
+Zoom rollup derives z(basezoom-1)..z(minzoom) assignments by bit-shift +
+distinct, mirroring TileCoordinatesSet derivation
+(include/tile_data.h:142-177, src/tilemaker.cpp:384-409).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tilemaker_spark.functions import geomnp as G
+from tilemaker_spark.functions.coords import lat2latp_col, latp2tiley_col, lon2tilex_col
+
+# Cap on how many tiles a single large-polygon bbox may explode to at the
+# index zoom. Beyond this the exact filled cover is used instead (always
+# smaller than the bbox for real shapes). This bounds worst-case blowup
+# for continent-sized polygons on a 1000-executor run.
+LARGE_BBOX_TILE_CAP = 65536
+
+
+def point_tiles(features: DataFrame, zoom: int) -> DataFrame:
+    """Tile assignment for point features — Column math only.
+
+    geom[0] = [lon, latp]; latpLon2index analog
+    (reference src/coordinates.cpp:38-41).
+    """
+    lon = F.element_at(F.element_at("geom", 1), 1)
+    latp = F.element_at(F.element_at("geom", 1), 2)
+    return features.withColumn("z", F.lit(zoom).cast("int")) \
+        .withColumn("x", lon2tilex_col(lon, zoom)) \
+        .withColumn("y", latp2tiley_col(latp, zoom))
+
+
+def _cover_udf(zoom: int):
+    @pandas_udf("array<array<long>>")
+    def cover(geom_type: pd.Series, geom: pd.Series) -> pd.Series:
+        out = []
+        for gt, parts in zip(geom_type, geom):
+            parts_np = [np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in parts]
+            tiles, bbox = G.cover_geometry(int(gt), parts_np, zoom)
+            if bbox is not None:
+                minx, miny, maxx, maxy = bbox
+                n = (maxx - minx + 1) * (maxy - miny + 1)
+                if n <= LARGE_BBOX_TILE_CAP:
+                    # reference large-object semantics: every bbox tile
+                    out.append([[x, y]
+                                for x in range(minx, maxx + 1)
+                                for y in range(miny, maxy + 1)])
+                    continue
+                # fall back to the exact filled cover (recompute)
+                tiles = set()
+                for outer, _ in G.iter_polygons(parts_np):
+                    tiles |= G.fill_covered_tiles(G.supercover_tiles(outer, zoom))
+            out.append([[t[0], t[1]] for t in sorted(tiles)])
+        return pd.Series(out)
+    return cover
+
+
+def cover_explode(features: DataFrame, zoom: int) -> DataFrame:
+    """feature_tiles at the index zoom for line/polygon features.
+
+    Output columns: all feature columns + (z, x, y). Point features are
+    routed through the codegen path; others through the cover pUDF.
+    """
+    pts = features.filter(F.col("geom_type") == 1)
+    other = features.filter(F.col("geom_type") != 1)
+
+    out_pts = point_tiles(pts, zoom)
+
+    cover = _cover_udf(zoom)
+    covered = other.withColumn("_tiles", cover(F.col("geom_type"), F.col("geom")))
+    out_other = (covered
+                 .select("*", F.explode("_tiles").alias("_t"))
+                 .withColumn("z", F.lit(zoom).cast("int"))
+                 .withColumn("x", F.element_at("_t", 1))
+                 .withColumn("y", F.element_at("_t", 2))
+                 .drop("_tiles", "_t"))
+    return out_pts.unionByName(out_other)
+
+
+def ancestor_rollup(feature_tiles: DataFrame, minzoom: int, basezoom: int,
+                    dedup_cols=("feature_id", "layer")) -> DataFrame:
+    """A6 — derive every zoom's assignment from the basezoom cover.
+
+    (z, x >> (basezoom - z), y >> (basezoom - z)) for z in
+    [minzoom, basezoom]; duplicates from sibling tiles collapsing to one
+    parent are removed per feature. Mirrors src/tilemaker.cpp:384-409.
+    """
+    zs = F.explode(F.sequence(F.lit(minzoom), F.lit(basezoom))).alias("zz")
+    shifted = feature_tiles.select("*", zs)
+    out = (shifted
+           .withColumn("x", F.expr(f"shiftright(x, {basezoom} - zz)"))
+           .withColumn("y", F.expr(f"shiftright(y, {basezoom} - zz)"))
+           .drop("z").withColumnRenamed("zz", "z"))
+    return out.dropDuplicates([*dedup_cols, "z", "x", "y"])
+
+
+def zoom_gates(feature_tiles: DataFrame, layer_zooms: dict) -> DataFrame:
+    """F3 + F4: feature min_zoom gate and per-layer [minzoom, maxzoom].
+
+    layer_zooms: {layer: (minzoom, maxzoom)} from EngineConfig. The layer
+    gate is applied via a broadcast map literal (tiny dim — the reference
+    checks it per tile at src/tile_worker.cpp:427).
+    """
+    df = feature_tiles.filter(F.col("z") >= F.col("min_zoom"))
+    if layer_zooms:
+        entries = []
+        for layer, (lo, hi) in layer_zooms.items():
+            entries.append((F.col("layer") == layer)
+                           & F.col("z").between(lo, hi))
+        cond = entries[0]
+        for e in entries[1:]:
+            cond = cond | e
+        df = df.filter(cond)
+    return df
+
+
+def apply_feature_limit(feature_tiles: DataFrame, limit: int,
+                        limit_below: int) -> DataFrame:
+    """O2 — per-(tile, layer) top-K by draw order below a zoom.
+
+    row_number over Window(z,x,y,layer order by z_order desc, feature_id)
+    mirrors the post-sort truncation at src/tile_worker.cpp:448. Applied
+    *before* tile assembly so hot-tile groups are bounded (this is also
+    the engine's first line of defense against city-center skew).
+    """
+    if limit <= 0:
+        return feature_tiles
+    w = Window.partitionBy("z", "x", "y", "layer").orderBy(
+        F.col("z_order").desc(), F.col("feature_id"))
+    return (feature_tiles
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("z") >= limit_below) | (F.col("_rn") <= limit))
+            .drop("_rn"))
+
+
+def hot_tile_salt(feature_tiles: DataFrame, threshold: int, salt: int) -> DataFrame:
+    """O5 analog — mark a salt column for tiles with > threshold features.
+
+    The repartition before per-tile assembly keys on (z, x, y, salt) so a
+    single city-center tile's rows spread over ``salt`` tasks; the
+    assembly stage groups on (z, x, y) but Spark's AQE-balanced shuffle +
+    this pre-split keeps sort/combine memory bounded. (Replaces the
+    reference's zoom-weighted batching, src/tilemaker.cpp:506-524.)
+    """
+    counts = feature_tiles.groupBy("z", "x", "y").agg(F.count("*").alias("_n"))
+    hot = counts.filter(F.col("_n") > threshold).drop("_n")
+    joined = feature_tiles.join(F.broadcast(hot.withColumn("_hot", F.lit(1))),
+                                ["z", "x", "y"], "left")
+    return (joined
+            .withColumn("salt",
+                        F.when(F.col("_hot").isNotNull(),
+                               (F.col("feature_id") % salt).cast("int"))
+                        .otherwise(F.lit(0)))
+            .drop("_hot"))

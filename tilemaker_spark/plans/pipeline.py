@@ -1,0 +1,126 @@
+"""End-to-end pipeline orchestration with checkpoint/resume + lineage.
+
+Dataflow (SURVEY.md §7.1), each stage materialized as a parquet
+checkpoint so a killed job resumes from the last completed stage — the
+sandbox analog of Iceberg snapshot checkpointing demanded by the north
+rule. Stage completion is Spark's own atomic _SUCCESS marker; lineage
+(row counts, per-partition sizes, wall time) is written next to each
+stage as JSON.
+
+    pages -> features -> feature_tiles -> tiles
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tilemaker_spark.config import EngineConfig, default_config
+from tilemaker_spark.operators.profile import features_from_pages, features_from_ways
+from tilemaker_spark.operators.tile_assembly import assemble_tiles
+from tilemaker_spark.operators.tiling import (
+    ancestor_rollup,
+    apply_feature_limit,
+    cover_explode,
+    zoom_gates,
+)
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _write_lineage(path: str, df_path: str, spark: SparkSession,
+                   seconds: float) -> dict:
+    """Per-partition lineage for a completed stage: file-level row counts
+    straight out of parquet metadata (no extra scan of the data)."""
+    import pyarrow.parquet as pq
+    parts = []
+    total = 0
+    for name in sorted(os.listdir(df_path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(df_path, name)).metadata
+        parts.append({"file": name, "rows": md.num_rows,
+                      "bytes": os.path.getsize(os.path.join(df_path, name))})
+        total += md.num_rows
+    lineage = {"stage": os.path.basename(df_path), "rows": total,
+               "partitions": len(parts), "seconds": round(seconds, 3),
+               "files": parts}
+    with open(path, "w") as f:
+        json.dump(lineage, f, indent=1)
+    return lineage
+
+
+class TilePipeline:
+    """Checkpoint-resumable pages -> tiles run."""
+
+    def __init__(self, spark: SparkSession, config: EngineConfig | None = None,
+                 workdir: str = "/tmp/tilemaker_spark_run"):
+        self.spark = spark
+        self.config = config or default_config()
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.metrics: dict = {"stages": {}}
+
+    def _checkpoint(self, df: DataFrame, name: str, partition_cols=None,
+                    force: bool = False) -> DataFrame:
+        path = os.path.join(self.workdir, name)
+        if force or not _stage_done(path):
+            t0 = time.time()
+            writer = df.write.mode("overwrite")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(path)
+            dt = time.time() - t0
+            if not partition_cols:
+                lineage = _write_lineage(os.path.join(self.workdir, f"{name}.lineage.json"),
+                                         path, self.spark, dt)
+            else:
+                lineage = {"stage": name, "seconds": round(dt, 3)}
+            self.metrics["stages"][name] = lineage
+        else:
+            self.metrics["stages"][name] = {"stage": name, "resumed": True}
+        return self.spark.read.parquet(path)
+
+    def run(self, pages: DataFrame, nodes: DataFrame | None = None,
+            ways: DataFrame | None = None, force: bool = False) -> DataFrame:
+        cfg = self.config
+        t_start = time.time()
+
+        # Stage 1 — features (profile over pages [+ ways])
+        feats = features_from_pages(pages).drop("url", "text")
+        if nodes is not None and ways is not None:
+            feats = feats.unionByName(features_from_ways(nodes, ways))
+        feats = self._checkpoint(feats, "features", force=force)
+
+        # Stage 2 — feature_tiles at basezoom + rollup + gates
+        ft = cover_explode(feats, cfg.basezoom)
+        ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
+        layer_zooms = {name: (lc.minzoom, lc.maxzoom)
+                       for name, lc in cfg.layers.items()}
+        ft = zoom_gates(ft, layer_zooms)
+        # O2 pre-limit bounds hot groups before the assembly shuffle
+        max_limit = max((lc.feature_limit for lc in cfg.layers.values()
+                         if lc.feature_limit > 0), default=0)
+        max_below = max((lc.feature_limit_below for lc in cfg.layers.values()), default=0)
+        if max_limit:
+            ft = apply_feature_limit(ft, max_limit, max_below)
+        ft = self._checkpoint(ft, "feature_tiles", force=force)
+
+        # Stage 3 — per-tile assembly -> tiles
+        tiles = assemble_tiles(ft, cfg)
+        tiles = self._checkpoint(tiles, "tiles", force=force)
+
+        self.metrics["total_seconds"] = round(time.time() - t_start, 3)
+        n_tiles = tiles.count()
+        self.metrics["tiles"] = n_tiles
+        self.metrics["tiles_per_sec"] = round(
+            n_tiles / max(self.metrics["total_seconds"], 1e-9), 2)
+        with open(os.path.join(self.workdir, "metrics.json"), "w") as f:
+            json.dump(self.metrics, f, indent=1)
+        return tiles
