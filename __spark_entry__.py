@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pages->tiles pipeline at sf0.001.
+``queries()`` exposes one DataFrame callable per implemented operator
+from SURVEY.md §2 (+ the mandated training-data-pipeline extensions);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each
+SQL-expressible one. Column names are aliased identically on both
+sides (the driver's compare hashes values after sorting columns by
+name).
 """
 
 from __future__ import annotations
@@ -12,27 +14,565 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from tilemaker_spark.operators.geocode import (
+    derive_lat,
+    derive_lon,
+    sql_lat,
+    sql_lon,
+    sql_tile_x,
+    sql_tile_y,
+)
+
+BASEZOOM = 14
+TILE_Z = 8          # zoom used for per-tile count queries
+RASTER_Z = 8        # raster<->vector coverage grid zoom
+KNN_K = 3
+KNN_CELL_ZOOM = 10
+TOPK = 5
+PROBE_IDS = list(range(10))
+NGRAM_N = 2
+JACCARD_THRESHOLD = 0.4
+LSH_THRESHOLD = 0.35
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic (lon, lat) — the geo-tagged pages stand-in."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    return d.withColumn("lon", derive_lon(did)).withColumn("lat", derive_lat(did))
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pages -> features -> feature_tiles -> MVT tiles run
+    on sf0.001 (no checkpointing; driver checks rows >= 0)."""
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.fixtures import pages_from_documents
+    from tilemaker_spark.operators.profile import features_from_pages
+    from tilemaker_spark.operators.tile_assembly import assemble_tiles
+    from tilemaker_spark.operators.tiling import ancestor_rollup, cover_explode
+
+    cfg = default_config()
+    cfg.basezoom = 10
+    cfg.compress = "none"
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    feats = features_from_pages(pages).drop("url", "text")
+    ft = cover_explode(feats, cfg.basezoom)
+    ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
+    ft = ft.filter(F.col("z") >= F.col("min_zoom"))
+    return assemble_tiles(ft, cfg)
+
+
+# -------------------------------------------------------------- queries
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3 + J6(points): per-tile page counts at TILE_Z."""
+    from tilemaker_spark.functions.coords import (
+        lat2latp_col, latp2tiley_col, lon2tilex_col)
+    g = _geo_docs(spark, sf_dir)
+    return (g.withColumn("x", lon2tilex_col(F.col("lon"), TILE_Z))
+             .withColumn("y", latp2tiley_col(lat2latp_col(F.col("lat")), TILE_Z))
+             .groupBy("x", "y")
+             .agg(F.count("*").alias("n_pages"),
+                  F.min("doc_id").alias("min_doc"))
+             .select("x", "y", "n_pages", "min_doc"))
+
+
+def _q_zoom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distinct occupied tiles per zoom 0..BASEZOOM, rolled up from
+    the basezoom point assignment by bit shift."""
+    from tilemaker_spark.functions.coords import (
+        lat2latp_col, latp2tiley_col, lon2tilex_col)
+    g = _geo_docs(spark, sf_dir)
+    base = (g.withColumn("x", lon2tilex_col(F.col("lon"), BASEZOOM))
+              .withColumn("y", latp2tiley_col(lat2latp_col(F.col("lat")), BASEZOOM))
+              .select("x", "y"))
+    zs = F.explode(F.sequence(F.lit(0), F.lit(BASEZOOM))).alias("z")
+    shifted = base.select("*", zs).select(
+        "z",
+        F.expr(f"shiftright(x, {BASEZOOM} - z)").alias("xz"),
+        F.expr(f"shiftright(y, {BASEZOOM} - z)").alias("yz"))
+    return (shifted.groupBy("z")
+            .agg(F.countDistinct("xz", "yz").alias("n_tiles"))
+            .select("z", "n_tiles"))
+
+
+PIP_N = 20000  # synthetic probe count for the point-in-polygon join
+
+
+def _q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: point-in-polygon join of geocoded probe points vs the
+    checkerboard countries (axis-aligned squares -> SQL range oracle).
+    Uses a deterministic spark.range probe set so enough points land
+    inside the polygons to make the check non-vacuous."""
+    from tilemaker_spark.fixtures import make_layer_polygons
+    from tilemaker_spark.operators.spatial_join import points_in_polygons
+    g = spark.range(PIP_N).withColumnRenamed("id", "doc_id")
+    g = g.withColumn("lon", derive_lon(F.col("doc_id"))) \
+         .withColumn("lat", derive_lat(F.col("doc_id")))
+    polys = make_layer_polygons(spark).filter(F.col("layer") == "countries")
+    out = points_in_polygons(g, polys, point_id="doc_id")
+    return out.select("doc_id", "name").orderBy("doc_id", "name")
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: kNN among the hot-cluster pages (cell-ring expansion join)."""
+    from tilemaker_spark.operators.spatial_join import knn_points
+    g = _geo_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    probes = g.select(F.col("doc_id").alias("probe_id"), "lon", "lat")
+    targets = g.select(F.col("doc_id").alias("target_id"),
+                       F.col("lon").alias("lon"), F.col("lat").alias("lat"))
+    out = knn_points(probes, targets, KNN_K, cell_zoom=KNN_CELL_ZOOM)
+    return out.select("probe_id", "target_id",
+                      F.round("dist_m", 3).alias("dist_m"), "rank")
+
+
+def _q_raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: coverage fraction of each raster grid cell per polygon."""
+    from tilemaker_spark.fixtures import make_layer_polygons
+    from tilemaker_spark.operators.spatial_join import raster_coverage
+    polys = make_layer_polygons(spark).filter(F.col("layer") == "countries")
+    out = raster_coverage(polys, zoom=RASTER_Z)
+    return out.select("name", "cell_x", "cell_y",
+                      F.round("coverage_frac", 6).alias("coverage_frac"))
+
+
+def _q_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 relational analog: big equi-join lineitem ⋈ orders + agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("o_orderstatus") == "F")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .select("o_orderpriority", "n_items", "revenue"))
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: per-customer top-K orders by totalprice (row_number window)."""
+    from pyspark.sql import Window
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "rnk"))
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WayScan/used-nodes analog: left-semi join reduction."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_customers"))
+            .select("c_nationkey", "n_customers"))
+
+
+def _q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 analog: predicate filter + aggregation over events."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.filter((F.col("value") > 10) & (F.col("event_type") != "view"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 3).alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .select("event_type", "n_events", "sum_value", "n_users"))
+
+
+def _q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style partial+final agg (TPC-H Q1 shape) — map-side combine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.count("*").alias("count_order"))
+            .select("l_returnflag", "l_linestatus", "sum_qty",
+                    "sum_base_price", "count_order"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=NGRAM_N,
+                               threshold=JACCARD_THRESHOLD)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=NGRAM_N, k=16,
+                             rows_per_band=2, threshold=LSH_THRESHOLD)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.dedup import simhash16
+    return simhash16(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.text_analysis import token_stats
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.text_analysis import quality_score
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.text_analysis import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, PROBE_IDS, k=TOPK)
+
+
+def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, PROBE_IDS, k=TOPK)
+
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.text_analysis import winnow_fingerprints
+    d = _docs(spark, sf_dir)
+    return (winnow_fingerprints(d)
+            .select("doc_id", F.size("fingerprints").alias("n_fp")))
+
+
+def _q_tiles_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end tiles (binary MVT; driver rows-only check)."""
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.fixtures import pages_from_documents
+    from tilemaker_spark.operators.profile import features_from_pages
+    from tilemaker_spark.operators.tile_assembly import assemble_tiles
+    from tilemaker_spark.operators.tiling import ancestor_rollup, cover_explode
+    cfg = default_config()
+    cfg.basezoom = 10
+    cfg.compress = "none"
+    pages = pages_from_documents(spark, sf_dir)
+    feats = features_from_pages(pages).drop("url", "text")
+    ft = cover_explode(feats, cfg.basezoom)
+    ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
+    ft = ft.filter(F.col("z") >= F.col("min_zoom"))
+    return assemble_tiles(ft, cfg).select("z", "x", "y", "n_features", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign_points": _q_tile_assign,
+        "zoom_rollup": _q_zoom_rollup,
+        "spatial_join_pip": _q_spatial_join_pip,
+        "knn_hot": _q_knn,
+        "raster_coverage": _q_raster_coverage,
+        "way_join_agg": _q_way_join,
+        "topk_per_group": _q_topk_per_group,
+        "semi_join_reduction": _q_semi_join,
+        "tag_filter_events": _q_tag_filter,
+        "agg_pushdown": _q_agg_pushdown,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "simhash_signatures": _q_simhash,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "embedding_topk": _q_embed_topk,
+        "embedding_ivf_topk": _q_embed_ivf,
+        "winnow_fingerprints": _q_winnow,
+        "tiles_e2e": _q_tiles_e2e,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+def _geo_cte() -> str:
+    return (f"geo AS (SELECT doc_id, {sql_lon('doc_id')} AS lon, "
+            f"{sql_lat('doc_id')} AS lat FROM documents)")
+
+
+def _shingle_cte(n: int = NGRAM_N) -> str:
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return (
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, {concat} AS shingle "
+        f"FROM toks, UNNEST(range(1, len(w) - {n - 2})) AS t(i))")
+
+
+def _pair_jaccard_sql() -> str:
+    return (
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "jac AS (SELECT doc_a, doc_b, "
+        "round(i / CAST(na.n_sh + nb.n_sh - i AS DOUBLE), 6) AS jaccard "
+        "FROM inter JOIN sizes na ON inter.doc_a = na.doc_id "
+        "JOIN sizes nb ON inter.doc_b = nb.doc_id)")
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (f"2.0 * 6371000.0 * asin(sqrt(pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) "
+            f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+            f"* pow(sin((radians({lon2}) - radians({lon1})) / 2), 2)))")
+
+
+def _simhash_sql() -> str:
+    hexpos = "instr('0123456789abcdef', substring(h, {pos}, 1)) - 1"
+    terms = []
+    for j in range(16):
+        digit = hexpos.format(pos=j // 4 + 1)
+        bit = f"(CAST(floor(({digit}) / {2 ** (3 - j % 4)}) AS BIGINT) % 2)"
+        terms.append(f"sum(({bit}) * 2 - 1) AS s{j}")
+    sums = ", ".join(terms)
+    acc = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "hs AS (SELECT doc_id, md5(tok) AS h FROM toks), "
+        f"per_doc AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM per_doc")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tz = TILE_Z
+    bz = BASEZOOM
+    q = {}
+
+    q["tile_assign_points"] = f"""
+WITH {_geo_cte()}
+SELECT {sql_tile_x('lon', tz)} AS x, {sql_tile_y('lat', tz)} AS y,
+       count(*) AS n_pages, min(doc_id) AS min_doc
+FROM geo GROUP BY 1, 2"""
+
+    q["zoom_rollup"] = f"""
+WITH {_geo_cte()},
+base AS (SELECT {sql_tile_x('lon', bz)} AS x, {sql_tile_y('lat', bz)} AS y FROM geo)
+SELECT CAST(z AS INT) AS z,
+       count(DISTINCT (x // CAST(pow(2, {bz} - z) AS BIGINT),
+                       y // CAST(pow(2, {bz} - z) AS BIGINT))) AS n_tiles
+FROM base, UNNEST(range(0, {bz + 1})) AS t(z)
+GROUP BY 1"""
+
+    q["spatial_join_pip"] = f"""
+WITH geo AS (SELECT doc_id, {sql_lon('doc_id')} AS lon,
+                    {sql_lat('doc_id')} AS lat
+             FROM range({PIP_N}) t(doc_id))
+SELECT doc_id,
+       'C' || CAST(CAST(floor(lon + 5.0) AS BIGINT) AS VARCHAR)
+           || CAST(CAST(floor(lat - 38.0) AS BIGINT) AS VARCHAR) AS name
+FROM geo
+WHERE lon >= -5.0 AND lon < 5.0 AND lat >= 38.0 AND lat < 48.0
+ORDER BY doc_id, name"""
+
+    hav = _haversine_sql("p.lat", "p.lon", "t.lat", "t.lon")
+    q["knn_hot"] = f"""
+WITH {_geo_cte()},
+hot AS (SELECT * FROM geo WHERE doc_id % 5 = 0),
+pairs AS (
+  SELECT p.doc_id AS probe_id, t.doc_id AS target_id, {hav} AS d
+  FROM hot p, hot t),
+ranked AS (
+  SELECT probe_id, target_id, d,
+         row_number() OVER (PARTITION BY probe_id ORDER BY d, target_id) AS rank
+  FROM pairs)
+SELECT probe_id, target_id, round(d, 3) AS dist_m, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {KNN_K}"""
+
+    n = 1 << RASTER_Z
+    latp = "degrees(ln(tan(radians({v} + 90.0) / 2.0)))"
+    q["raster_coverage"] = f"""
+WITH squares AS (
+  SELECT 'C' || CAST(i AS VARCHAR) || CAST(j AS VARCHAR) AS name,
+         -5.0 + i AS x0, 38.0 + j AS y0, -4.0 + i AS x1, 39.0 + j AS y1
+  FROM range(10) s(i), range(10) t(j)),
+sq AS (SELECT name, x0, x1,
+              {latp.format(v='y0')} AS p0, {latp.format(v='y1')} AS p1
+       FROM squares),
+cells AS (
+  SELECT name, x0, x1, p0, p1, cx, cy,
+         cx * 360.0 / {n} - 180.0 AS clon0,
+         (cx + 1) * 360.0 / {n} - 180.0 AS clon1,
+         180.0 - (cy + 1) * 360.0 / {n} AS cp0,
+         180.0 - cy * 360.0 / {n} AS cp1
+  FROM sq, range({n}) a(cx), range({n}) b(cy)
+  WHERE cx >= CAST(floor((x0 + 180.0) / 360.0 * {n}) AS BIGINT)
+    AND cx <= CAST(floor((x1 + 180.0) / 360.0 * {n}) AS BIGINT)
+    AND cy >= CAST(floor((180.0 - p1) / 360.0 * {n}) AS BIGINT)
+    AND cy <= CAST(floor((180.0 - p0) / 360.0 * {n}) AS BIGINT))
+SELECT name, cx AS cell_x, cy AS cell_y,
+       round(greatest(0.0, least(x1, clon1) - greatest(x0, clon0))
+             * greatest(0.0, least(p1, cp1) - greatest(p0, cp0))
+             / ((clon1 - clon0) * (cp1 - cp0)), 6) AS coverage_frac
+FROM cells
+WHERE greatest(0.0, least(x1, clon1) - greatest(x0, clon0))
+      * greatest(0.0, least(p1, cp1) - greatest(p0, cp0)) > 0"""
+
+    q["way_join_agg"] = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY 1"""
+
+    q["topk_per_group"] = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3"""
+
+    q["semi_join_reduction"] = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+GROUP BY 1"""
+
+    q["tag_filter_events"] = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 3) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE value > 10 AND event_type <> 'view'
+GROUP BY 1"""
+
+    q["agg_pushdown"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY 1, 2"""
+
+    q["dedup_exact"] = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1"""
+
+    q["dedup_ngram_jaccard"] = f"""
+WITH {_shingle_cte()}, {_pair_jaccard_sql()}
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
+    # banded MinHash LSH verified by exact jaccard
+    k, rpb = 16, 2
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + "md5(" + " || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + ") AS band_hash FROM sig"
+        for b in range(k // rpb))
+    q["dedup_minhash_lsh"] = f"""
+WITH {_shingle_cte()}, {_pair_jaccard_sql()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {LSH_THRESHOLD}"""
+
+    q["simhash_signatures"] = _simhash_sql()
+
+    q["token_stats"] = """
+WITH t AS (SELECT doc_id, length(text) AS n_chars_txt,
+                  string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(n_chars_txt AS BIGINT) AS n_chars_txt,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+       round((n_chars_txt - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 6)
+           AS avg_token_len,
+       round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio
+FROM t"""
+
+    stop_list = ", ".join(f"'{s}'" for s in
+                          ["the", "a", "of", "and", "to", "in"])
+    q["quality_score"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS nt,
+             CAST(len(list_distinct(w)) AS DOUBLE) AS nu,
+             CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE) AS ns
+      FROM t)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       round(ns / nt, 6) AS stop_ratio,
+       round(nu / nt, 6) AS uniq_ratio,
+       round(0.5 * least(1.0, nt / 100.0) + 0.3 * (nu / nt)
+             + 0.2 * (1.0 - ns / nt), 6) AS score,
+       (round(0.5 * least(1.0, nt / 100.0) + 0.3 * (nu / nt)
+              + 0.2 * (1.0 - ns / nt), 6) >= 0.5
+        AND nt >= 20 AND round(ns / nt, 6) <= 0.4) AS keep
+FROM m"""
+
+    lang_cases = []
+    for lang, markers in [("en", ["the", "is", "and"]),
+                          ("de", ["der", "und", "ist"]),
+                          ("fr", ["le", "et", "est"]),
+                          ("es", ["el", "y", "es"])]:
+        cond = " OR ".join(f"list_contains(w, '{m}')" for m in markers)
+        lang_cases.append(f"WHEN {cond} THEN '{lang}'")
+    q["lang_id"] = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, lang,
+       CASE {' '.join(lang_cases)} ELSE 'und' END AS lang_pred,
+       lang = (CASE {' '.join(lang_cases)} ELSE 'und' END) AS agree
+FROM t"""
+
+    probe_list = ", ".join(str(p) for p in PROBE_IDS)
+    cos = ("list_dot_product(p.embedding, c.embedding) / "
+           "(sqrt(list_dot_product(p.embedding, p.embedding)) * "
+           "sqrt(list_dot_product(c.embedding, c.embedding)))")
+    q["embedding_topk"] = f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding FROM embeddings
+                WHERE vec_id IN ({probe_list})),
+scored AS (SELECT p.probe_id, c.vec_id, round({cos}, 4) AS cos_sim
+           FROM probes p, embeddings c WHERE c.vec_id <> p.probe_id),
+ranked AS (SELECT probe_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM scored)
+SELECT probe_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOPK}"""
+
+    q["embedding_ivf_topk"] = f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding, label FROM embeddings
+                WHERE vec_id IN ({probe_list})),
+scored AS (SELECT p.probe_id, c.vec_id, round({cos}, 4) AS cos_sim
+           FROM probes p JOIN embeddings c ON p.label = c.label
+           WHERE c.vec_id <> p.probe_id),
+ranked AS (SELECT probe_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM scored)
+SELECT probe_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOPK}"""
+
+    # winnow_fingerprints, tiles_e2e: non-SQL-expressible (pandas-UDF
+    # rolling hash / binary MVT assembly) -> rows-only check.
+    return q

@@ -1,0 +1,185 @@
+"""Document deduplication operators for the training-data pipeline.
+
+No analog in the reference (it is a tile engine); these are the mandated
+large-scale-pipeline extensions. All hot paths are JVM-side Column
+expressions (md5, split, transform, explode) so the same plan runs under
+whole-stage codegen at 100 TB; the only shuffles are the groupBys /
+self-joins on content keys, which AQE skew-handles.
+
+Design notes for scale:
+  * Exact dedup is one hash-groupBy — map-side partial agg then a single
+    shuffle on md5(text).
+  * MinHash/LSH: signatures are computed with one explode + one groupBy
+    (k min() aggregates, partial-aggregated map-side), bands join on
+    (band_id, band_hash) — candidate pairs only, never the full n^2.
+  * All hashing is md5-based so the DuckDB oracle can reproduce results
+    bit-for-bit (fixed-width lowercase hex compares lexicographically ==
+    numerically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ------------------------------------------------------------ exact (hash)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns (text_hash, n_docs, keep_id): keep_id is the smallest doc_id
+    of the group (the canonical survivor).
+    """
+    return (docs
+            .groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_id")))
+
+
+# -------------------------------------------------------------- shingling
+
+def shingles(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Tokenization is a plain single-space split (matches the corpus
+    convention and the SQL twin `string_split(text, ' ')`).
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    parts = ", ".join(
+        f"element_at(w, i + {j})" for j in range(n))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts}))")).alias("shingle"))
+    return sh.dropDuplicates(["doc_id", "shingle"])
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair sharing >= 1 shingle."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter") /
+                                (F.col("na") + F.col("nb") - F.col("inter")), 6)))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 2,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold,
+    jaccard rounded to 6 decimals (oracle parity).
+    """
+    return (_pair_jaccard(shingles(docs, n))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(docs: DataFrame, n: int = 2, k: int = 16) -> DataFrame:
+    """k-wide MinHash signature per doc: columns doc_id, h0..h{k-1}.
+
+    Hash family i: md5(i || '|' || shingle); the minimum over a doc's
+    shingles of the fixed-width hex string is the signature component
+    (string min == numeric min for fixed-width hex).
+    One explode + one partial-aggregated groupBy — scales linearly.
+    """
+    sh = shingles(docs, n)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
+                      rows_per_band: int = 2,
+                      threshold: float = 0.35) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified by exact Jaccard.
+
+    Bands of `rows_per_band` signature components are hashed; a pair
+    becomes a candidate if ANY band collides; candidates are then
+    verified with the exact n-gram Jaccard (computed only for candidate
+    pairs). Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    sig = minhash_signatures(docs, n, k)
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bands.append(F.struct(F.lit(b).alias("band_id"),
+                              F.md5(F.concat(*cols)).alias("band_hash")))
+    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")) \
+        .select("doc_id", "band.band_id", "band.band_hash")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    cand = (a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").dropDuplicates())
+    exact = _pair_jaccard(shingles(docs, n))
+    return (cand.join(exact, ["doc_a", "doc_b"])
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ----------------------------------------------------------------- SimHash
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit_val(col):
+    """Value 0..15 of a single lowercase hex char — portable SQL
+
+    (instr of the char in the hex alphabet, minus one)."""
+    return F.expr(f"instr('{_HEX}', {col}) - 1")
+
+
+def simhash16(docs: DataFrame, token_col: str = "text") -> DataFrame:
+    """16-bit SimHash over word tokens, fully Column-expression based.
+
+    Bit j (j = 0..15) is set when the sum over tokens of
+    (+1 if bit j of md5(token) else -1) is positive. Bit j of md5 is
+    extracted from hex digit j/4 — integer math reproducible in ANSI SQL
+    for the oracle. Returns (doc_id, simhash).
+    """
+    toks = docs.select("doc_id",
+                       F.explode(F.split(token_col, " ")).alias("tok"))
+    toks = toks.withColumn("h", F.md5("tok"))
+    bit_sums = []
+    for j in range(16):
+        digit = _hex_digit_val(f"substring(h, {j // 4 + 1}, 1)")
+        bit = F.floor(digit / (2 ** (3 - j % 4))) % 2
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    acc = F.lit(0)
+    for j in range(16):
+        acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return per_doc.select("doc_id", acc.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidate pairs whose 16-bit SimHashes differ by
+    <= max_hamming bits. Pairing is blocked on the top byte of the
+    signature (an LSH-style prefix block) so the join is not n^2 at
+    scale; exact hamming distance filters within blocks."""
+    sh = simhash16(docs)
+    blocked = sh.withColumn("block", F.shiftright("simhash", 8))
+    a = blocked.select(F.col("doc_id").alias("doc_a"),
+                       F.col("simhash").alias("sim_a"), "block")
+    b = blocked.select(F.col("doc_id").alias("doc_b"),
+                       F.col("simhash").alias("sim_b"), "block")
+    pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    xor = F.expr("sim_a ^ sim_b")
+    ham = sum(F.shiftright(xor, j) % 2 for j in range(16))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

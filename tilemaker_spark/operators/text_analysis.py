@@ -1,0 +1,160 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+Training-data-pipeline extensions (no reference analog). Everything
+except the winnowing fingerprint is pure Column expressions (JVM-side,
+codegen) with exact ANSI-SQL twins for the DuckDB oracle; the winnowing
+fingerprint is a vectorized pandas UDF (Arrow-batched, no per-row
+Python at the Spark API level).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics.
+
+    (doc_id, n_chars_txt, n_tokens, n_uniq, avg_token_len, uniq_ratio)
+    — whitespace tokenization; ratios rounded to 6 for oracle parity.
+    """
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length("text")
+    avg_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 6)
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_txt"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq"),
+        avg_len.alias("avg_token_len"),
+        F.round(n_uniq.cast("double") / n_tokens, 6).alias("uniq_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, min_tokens: int = 20,
+                  max_stop_ratio: float = 0.4) -> DataFrame:
+    """Heuristic quality score per document.
+
+    score = 0.5*min(1, n_tokens/100) + 0.3*uniq_ratio
+          + 0.2*(1 - stop_ratio); keep = score >= 0.5 and
+    n_tokens >= min_tokens and stop_ratio <= max_stop_ratio.
+    Returns (doc_id, n_tokens, stop_ratio, uniq_ratio, score, keep).
+    """
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) \
+        .cast("double")
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    uniq_ratio = F.round(n_uniq / n_tokens, 6)
+    score = F.round(
+        F.lit(0.5) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (n_uniq / n_tokens)
+        + F.lit(0.2) * (F.lit(1.0) - n_stop / n_tokens), 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        score.alias("score"),
+        ((score >= 0.5) & (n_tokens >= min_tokens)
+         & (stop_ratio <= max_stop_ratio)).alias("keep"),
+    )
+
+
+# Deterministic char-class markers per language for the rule-based
+# language-ID heuristic (n-gram-frequency stand-in that both Spark and
+# the SQL oracle can evaluate identically on the synthetic corpus).
+_LANG_MARKERS = [
+    ("en", ["the", "is", "and"]),
+    ("de", ["der", "und", "ist"]),
+    ("fr", ["le", "et", "est"]),
+    ("es", ["el", "y", "es"]),
+    ("zh", []),
+]
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Rule-based language ID: first language whose marker stopword
+    appears among the tokens wins; fallback 'und'. Returns
+    (doc_id, lang, lang_pred, agree)."""
+    toks = F.split("text", " ")
+    pred = F.lit("und")
+    for lang, markers in reversed(_LANG_MARKERS):
+        if not markers:
+            continue
+        cond = None
+        for m in markers:
+            c = F.array_contains(toks, m)
+            cond = c if cond is None else (cond | c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"),
+                       (F.col("lang") == pred).alias("agree"))
+
+
+# --------------------------------------------- winnowing fingerprint
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling polynomial hash over k-grams of characters, minimum per
+    sliding window, rightmost-min tie-break. Vectorized pandas UDF.
+
+    Returns (doc_id, fingerprints: array<long>) — the selected hash set
+    in document order (deduplicated, order of first occurrence).
+    """
+    B, M = 257, (1 << 61) - 1
+
+    @pandas_udf("array<long>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        out = []
+        for t in texts:
+            s = t or ""
+            n = len(s)
+            if n < k:
+                out.append([])
+                continue
+            vals = np.frombuffer(s.encode("utf-8", "replace")[:n], dtype=np.uint8)
+            if len(vals) < k:
+                out.append([])
+                continue
+            # rolling hash of all k-grams
+            h = np.zeros(len(vals) - k + 1, dtype=np.int64)
+            cur = 0
+            for i in range(k):
+                cur = (cur * B + int(vals[i])) % M
+            h[0] = cur
+            top = pow(B, k - 1, M)
+            for i in range(1, len(h)):
+                cur = ((cur - int(vals[i - 1]) * top) * B + int(vals[i + k - 1])) % M
+                h[i] = cur % M
+            h = h % M
+            if len(h) <= window:
+                out.append([int(h.min())])
+                continue
+            sel = []
+            prev = -1
+            for w0 in range(len(h) - window + 1):
+                win = h[w0:w0 + window]
+                j = w0 + int(len(win) - 1 - np.argmin(win[::-1]))
+                if j != prev:
+                    sel.append(int(h[j]))
+                    prev = j
+            # dedup preserving order
+            seen, uniq = set(), []
+            for v in sel:
+                if v not in seen:
+                    seen.add(v)
+                    uniq.append(v)
+            out.append(uniq)
+        return pd.Series(out)
+
+    return docs.select("doc_id", winnow(F.col("text")).alias("fingerprints"))
