@@ -1,0 +1,148 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md): tiles/sec, end-to-end geometry->MVT, on a
+deterministic synthetic pages table sized to the sf dir. Also times the
+headline operator queries from ``__spark_entry__.queries()`` at
+$SPARK_GRAFT_SF_DIR.
+
+Usage:
+    python bench.py                 # single run at $SPARK_GRAFT_CPUS
+    python bench.py --scaling       # local[8] vs local[32] runs (spawns
+                                    # one subprocess per level; updates
+                                    # BENCH/BASELINE.md)
+    python bench.py --e2e-only      # headline pipeline only (used by the
+                                    # scaling subprocess)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# pages per sf for the end-to-end tile benchmark (sandbox stand-in for
+# the nominal 10^12-doc table; scales linearly with sf)
+PAGES_PER_SF = 1_000_000
+
+BENCH_QUERIES = [
+    "tile_assign_points",
+    "zoom_rollup",
+    "spatial_join_pip",
+    "knn_hot",
+    "raster_coverage",
+    "way_join_agg",
+    "topk_per_group",
+    "agg_pushdown",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "token_stats",
+    "quality_score",
+    "embedding_topk",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_e2e(spark, n_pages: int, workdir: str) -> dict:
+    """pages -> features -> feature_tiles -> MVT tiles, fully fresh."""
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.fixtures import make_pages
+    from tilemaker_spark.plans.pipeline import TilePipeline
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    cfg = default_config()
+    pages = make_pages(spark, n_pages)
+    pipe = TilePipeline(spark, cfg, workdir=workdir)
+    t0 = time.time()
+    tiles = pipe.run(pages, force=True)
+    n_tiles = pipe.metrics["tiles"]
+    dt = time.time() - t0
+    tile_stage_s = pipe.metrics["stages"]["tiles"]["seconds"]
+    return {"tiles": n_tiles, "seconds": round(dt, 2),
+            "tiles_per_sec": round(n_tiles / dt, 1),
+            "tile_stage_seconds": tile_stage_s,
+            "tile_stage_tiles_per_sec": round(n_tiles / tile_stage_s, 1),
+            "pages": n_pages}
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    n_pages = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_PAGES", max(10_000, int(PAGES_PER_SF * sf))))
+
+    if "--scaling" in sys.argv:
+        # BASELINE.md protocol: same job at local[8] vs local[32], identical
+        # input; efficiency computed on the tile-producing stage's wall
+        # time (the compute stage — the fixed driver/stage-setup overhead
+        # of a 100k-page sandbox run is not what scales with executors).
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                       SPARK_GRAFT_BENCH_PAGES=str(4 * n_pages))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--e2e-only"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        eff = (results[32]["e2e"]["tile_stage_tiles_per_sec"]
+               / results[8]["e2e"]["tile_stage_tiles_per_sec"]) / 4.0
+        eff_total = (results[32]["e2e"]["tiles_per_sec"]
+                     / results[8]["e2e"]["tiles_per_sec"]) / 4.0
+        report = {"local8": results[8]["e2e"], "local32": results[32]["e2e"],
+                  "scaling_efficiency": round(eff, 3),
+                  "scaling_efficiency_total_wall": round(eff_total, 3),
+                  "sf": sf}
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/scaling.json", "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report))
+        return
+
+    from tilemaker_spark.session import get_spark
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    e2e = run_e2e(spark, n_pages, f"/tmp/bench_run_{CPUS}")
+
+    queries: dict = {}
+    if "--e2e-only" not in sys.argv:
+        import __spark_entry__ as entrymod
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            # count() forces full execution without driver materialization
+            qs[name](spark, SF_DIR).count()
+            queries[name] = round(time.time() - t0, 2)
+
+    out = {
+        "metric": "tiles/sec (end-to-end geometry->MVT)",
+        "value": e2e["tiles_per_sec"],
+        "unit": "tiles/sec",
+        "queries": queries,
+        "sf": sf,
+        "e2e": e2e,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

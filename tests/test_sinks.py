@@ -1,0 +1,123 @@
+"""Sink roundtrips: MBTiles, PMTiles, tile directory, merge, Hilbert."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.functions import mvt
+from tilemaker_spark import sinks
+
+
+def _mk_tile(n_pts: int, name: str = "pages") -> bytes:
+    lb = mvt.LayerBuilder(name, extent=4096, version=2)
+    pts = [(i * 10 % 4096, i * 17 % 4096) for i in range(n_pts)]
+    lb.add_feature(mvt.GEOM_POINT, mvt.encode_point_geometry(pts),
+                   attrs=[("kind", "test")])
+    return mvt.encode_tile([lb])
+
+
+@pytest.fixture(scope="module")
+def tiles_df(spark):
+    rows = [(z, x, y, _mk_tile(1 + (x + y) % 5))
+            for z in (2, 3) for x in range(1 << z) for y in range(1 << z)
+            if (x + y) % 3 == 0]
+    return spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+
+
+def test_hilbert_roundtrip():
+    cases = [(0, 0, 0), (1, 1, 0), (5, 17, 3), (12, 4001, 100),
+             (14, 16383, 16383), (14, 0, 16383)]
+    for z, x, y in cases:
+        tid = sinks.zxy_to_tileid(z, x, y)
+        assert sinks.tileid_to_zxy(tid) == (z, x, y)
+
+
+def test_hilbert_adjacency():
+    """Consecutive hilbert ids are grid-adjacent (locality property)."""
+    prev = None
+    ids = sorted((sinks.hilbert_d(4, x, y), x, y)
+                 for x in range(16) for y in range(16))
+    for d, x, y in ids:
+        if prev is not None:
+            px, py = prev
+            assert abs(x - px) + abs(y - py) == 1
+        prev = (x, y)
+
+
+def test_mbtiles_roundtrip(spark, tiles_df, tmp_path):
+    path = str(tmp_path / "t.mbtiles")
+    n = sinks.write_mbtiles(tiles_df, path, {"name": "t"})
+    assert n == tiles_df.count()
+    back = sinks.read_mbtiles(spark, path)
+    a = {(r.z, r.x, r.y): bytes(r.tile) for r in tiles_df.collect()}
+    b = {(r.z, r.x, r.y): bytes(r.tile) for r in back.collect()}
+    assert a == b
+
+
+def test_pmtiles_roundtrip(spark, tiles_df, tmp_path):
+    path = str(tmp_path / "t.pmtiles")
+    n = sinks.write_pmtiles(tiles_df, path, {"name": "t"})
+    assert n == tiles_df.count()
+    back = sinks.read_pmtiles(spark, path)
+    a = {(r.z, r.x, r.y): bytes(r.tile) for r in tiles_df.collect()}
+    b = {(r.z, r.x, r.y): bytes(r.tile) for r in back.collect()}
+    assert a == b
+
+
+def test_pmtiles_dedup_and_clustering(spark, tmp_path):
+    # identical tiles must be stored once (run-length / content dedup)
+    blob = _mk_tile(3)
+    rows = [(4, x, y, blob) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+    path = str(tmp_path / "d.pmtiles")
+    sinks.write_pmtiles(df, path)
+    size = os.path.getsize(path)
+    assert size < 127 + 1000 + len(blob) * 3  # far less than 16 copies
+    back = sinks.read_pmtiles(spark, path)
+    assert back.count() == 16
+    assert all(bytes(r.tile) == blob for r in back.collect())
+
+
+def test_tile_directory(spark, tiles_df, tmp_path):
+    out = str(tmp_path / "tiles")
+    n = sinks.write_tile_directory(tiles_df, out, {"name": "t"})
+    assert n == tiles_df.count()
+    r = tiles_df.first()
+    p = os.path.join(out, str(r.z), str(r.x), f"{r.y}.pbf")
+    assert os.path.exists(p)
+    with open(p, "rb") as f:
+        assert f.read() == bytes(r.tile)
+    assert os.path.exists(os.path.join(out, "metadata.json"))
+
+
+def test_merge_tilesets(spark):
+    old = spark.createDataFrame(
+        [(5, 1, 1, _mk_tile(2, "old_layer")), (5, 2, 2, _mk_tile(1, "old_layer"))],
+        "z int, x long, y long, tile binary")
+    new = spark.createDataFrame(
+        [(5, 1, 1, _mk_tile(3, "new_layer")), (5, 3, 3, _mk_tile(4, "new_layer"))],
+        "z int, x long, y long, tile binary")
+    merged = sinks.merge_tilesets(old, new)
+    got = {(r.z, r.x, r.y): mvt.decode_tile(bytes(r.tile))
+           for r in merged.collect()}
+    assert set(got) == {(5, 1, 1), (5, 2, 2), (5, 3, 3)}
+    assert set(got[(5, 1, 1)]) == {"old_layer", "new_layer"}
+    assert set(got[(5, 2, 2)]) == {"old_layer"}
+    assert set(got[(5, 3, 3)]) == {"new_layer"}
+
+
+def test_metadata(spark):
+    from tilemaker_spark.config import default_config
+    cfg = default_config()
+    feats = spark.createDataFrame(
+        [("pages", {"lang": "en", "host": "x"}), ("roads", {"class": "primary"})],
+        "layer string, attrs map<string,string>")
+    attrs = sinks.discover_layer_attrs(feats)
+    md = sinks.tileset_metadata(cfg, attrs)
+    assert md["format"] == "pbf"
+    import json
+    vl = {v["id"]: v for v in json.loads(md["json"])["vector_layers"]}
+    assert "lang" in vl["pages"]["fields"]
+    assert "class" in vl["roads"]["fields"]

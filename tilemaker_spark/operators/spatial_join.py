@@ -86,37 +86,64 @@ def point_cells(points: DataFrame, zoom: int = SPATIAL_INDEX_ZOOM,
 
 # ------------------------------------------------- point-in-polygon (J3)
 
+def with_bbox(polygons: DataFrame, rings_col: str = "rings") -> DataFrame:
+    """Add (bx0, by0, bx1, by1) bbox columns from the rings geometry."""
+
+    @pandas_udf("struct<bx0:double, by0:double, bx1:double, by1:double>")
+    def bbox(rings: pd.Series) -> pd.DataFrame:
+        rows = []
+        for parts in rings:
+            a = np.concatenate([np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                                for p in parts])
+            rows.append((a[:, 0].min(), a[:, 1].min(),
+                         a[:, 0].max(), a[:, 1].max()))
+        return pd.DataFrame(rows, columns=["bx0", "by0", "bx1", "by1"])
+
+    return polygons.withColumn("_bb", bbox(F.col(rings_col))) \
+        .select("*", "_bb.bx0", "_bb.by0", "_bb.bx1", "_bb.by1").drop("_bb")
+
+
 def points_in_polygons(points: DataFrame, polygons: DataFrame,
                        point_id: str = "doc_id",
                        zoom: int = SPATIAL_INDEX_ZOOM,
                        broadcast_polygons: bool = True) -> DataFrame:
     """FindIntersecting for point probes: (point columns..., name).
 
-    Cell equi-join prunes candidates; exact even-odd ray cast confirms.
-    With a small build side (country polygons), the cell table is
-    broadcast — zero shuffle on the big probe side.
+    Physical plan: broadcast the polygon dim with precomputed bboxes, a
+    nested-loop bbox range join prunes candidates (the analog of the
+    reference's R-tree bbox probe, src/shp_mem_tiles.cpp:65-127), then
+    one vectorized even-odd ray cast per (batch, polygon) group — no
+    per-row Python. Zero shuffle on the big probe side. For a build
+    side too large to broadcast, use a cell equi-join via
+    ``polygon_cells`` + ``point_cells`` at a coarse zoom instead.
     """
-    pc = point_cells(points, zoom)
-    polyc = polygon_cells(polygons, zoom).select(
-        "name", "rings", "cell_x", "cell_y")
+    polyb = with_bbox(polygons).select("name", "rings",
+                                       "bx0", "by0", "bx1", "by1")
     if broadcast_polygons:
-        polyc = F.broadcast(polyc)
-    cand = pc.join(polyc, ["cell_x", "cell_y"], "inner")
+        polyb = F.broadcast(polyb)
+    cond = ((F.col("lon") >= F.col("bx0")) & (F.col("lon") <= F.col("bx1"))
+            & (F.col("lat") >= F.col("by0")) & (F.col("lat") <= F.col("by1")))
+    cand = points.join(polyb, cond, "inner")
 
     @pandas_udf("boolean")
-    def pip(lon: pd.Series, lat: pd.Series, rings: pd.Series) -> pd.Series:
+    def pip(lon: pd.Series, lat: pd.Series, name: pd.Series,
+            rings: pd.Series) -> pd.Series:
         out = np.zeros(len(lon), dtype=bool)
         lons = lon.to_numpy(dtype=np.float64)
         lats = lat.to_numpy(dtype=np.float64)
-        for i, parts in enumerate(rings):
-            parts_np = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
-                        for p in parts]
-            out[i] = bool(G.points_in_polygon(lons[i:i + 1], lats[i:i + 1],
-                                              parts_np)[0])
+        groups: dict = {}
+        for i, nm in enumerate(name):
+            groups.setdefault(nm, []).append(i)
+        for nm, idxs in groups.items():
+            parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                     for p in rings.iloc[idxs[0]]]
+            idx = np.asarray(idxs)
+            out[idx] = G.points_in_polygon(lons[idx], lats[idx], parts)
         return pd.Series(out)
 
-    return (cand.filter(pip(F.col("lon"), F.col("lat"), F.col("rings")))
-            .drop("rings", "cell_x", "cell_y"))
+    return (cand.filter(pip(F.col("lon"), F.col("lat"), F.col("name"),
+                            F.col("rings")))
+            .drop("rings", "bx0", "by0", "bx1", "by1"))
 
 
 def geoms_intersecting_polygons(features: DataFrame, polygons: DataFrame,

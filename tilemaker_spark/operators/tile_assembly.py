@@ -57,31 +57,63 @@ def _simplify_part(part: np.ndarray, tol: float, algo: str, is_ring: bool) -> np
     return G.simplify_dp(part, tol)
 
 
+def _batch_prepare(pdf: pd.DataFrame, config: EngineConfig) -> pd.DataFrame:
+    """Batch-wide vectorized O1 sort + U3/A2 dedup + O2 feature limit.
+
+    Replaces the per-tile pandas calls that dominated assembly time:
+    one mergesort / drop_duplicates / groupby-cumcount over the whole
+    Arrow batch instead of three pandas ops per tile.
+    """
+    # U3/A2 — dedup identical output objects per tile+layer
+    pdf = pdf.drop_duplicates(["z", "x", "y", "layer", "feature_id",
+                               "geom_type", "z_order"])
+    # O1 — draw-order sort; per-layer asc/desc folded into a sort key
+    desc_layers = {n for n, lc in config.layers.items()
+                   if not lc.z_order_ascending}
+    zo = pdf["z_order"].to_numpy(dtype=np.int64, copy=True)
+    if desc_layers:
+        mask = pdf["layer"].isin(desc_layers).to_numpy()
+        zo[mask] = -zo[mask]
+    pdf = pdf.assign(_zo=zo).sort_values(
+        ["z", "x", "y", "layer", "_zo", "feature_id"], kind="mergesort")
+    # O2 — per-(tile, layer) feature limit via vectorized cumcount
+    limits = {n: (lc.feature_limit, lc.feature_limit_below)
+              for n, lc in config.layers.items() if lc.feature_limit > 0}
+    if limits:
+        rank = pdf.groupby(["z", "x", "y", "layer"], sort=False).cumcount()
+        lim = pdf["layer"].map({n: v[0] for n, v in limits.items()})
+        below = pdf["layer"].map({n: v[1] for n, v in limits.items()})
+        keep = lim.isna() | (pdf["z"] >= below) | (rank < lim)
+        pdf = pdf[keep.to_numpy()]
+    return pdf.drop(columns="_zo")
+
+
 def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
-                       config: EngineConfig) -> tuple:
+                       config: EngineConfig, prepared: bool = False) -> tuple:
+    """rows must already be draw-order sorted / deduped / limited when
+    ``prepared`` (the mapInPandas path does it batch-wide)."""
     bbox = TileBbox(z, x, y, hires=config.high_resolution)
     clip_box = bbox.clipping_box
     extend_box = bbox.extend_box()
     layers_out = []
     n_features = 0
 
+    by_layer = {k: v for k, v in rows.groupby("layer", sort=False)}
     for target, members in config.layer_order():
-        sub = rows[rows["layer"].isin(members)]
-        if len(sub) == 0:
+        subs = [by_layer[m] for m in members if m in by_layer]
+        if not subs:
             continue
+        sub = subs[0] if len(subs) == 1 else pd.concat(subs)
         lc = config.layers[members[0]]
         if not (lc.minzoom <= z <= lc.maxzoom):
             continue
-        # O1 per-tile sort: (z_order asc/desc, feature_id) — the layer/
-        # geomType components of the reference sort are constant here
-        sub = sub.sort_values(
-            ["z_order", "feature_id"],
-            ascending=[lc.z_order_ascending, True])
-        # U3/A2 dedup of identical output objects
-        sub = sub.drop_duplicates(["feature_id", "geom_type", "z_order"])
-        # O2 feature limit
-        if lc.feature_limit > 0 and z < lc.feature_limit_below:
-            sub = sub.head(lc.feature_limit)
+        if not prepared:
+            sub = sub.sort_values(
+                ["z_order", "feature_id"],
+                ascending=[lc.z_order_ascending, True])
+            sub = sub.drop_duplicates(["feature_id", "geom_type", "z_order"])
+            if lc.feature_limit > 0 and z < lc.feature_limit_below:
+                sub = sub.head(lc.feature_limit)
 
         tol = lc.simplify_tolerance_at(z)
         min_area = lc.filter_area_at(z)
@@ -190,14 +222,77 @@ def make_assembler(config: EngineConfig):
     return assemble
 
 
-def assemble_tiles(feature_tiles, config: EngineConfig):
+def make_stream_assembler(config: EngineConfig):
+    """mapInPandas variant: one Python call per Arrow batch, not per tile.
+
+    Input batches arrive sorted by (z, x, y) within the partition (the
+    caller repartitions on the tile key and sorts); a tile whose rows
+    straddle a batch boundary is carried into the next batch. This is
+    the difference between ~1M per-group UDF invocations and a few
+    hundred per-batch ones — per-group overhead dominates end-to-end
+    tiles/sec at planet scale.
+    """
+
+    def process(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last = pdf.iloc[-1]
+            mask = ((pdf["z"] == last["z"]) & (pdf["x"] == last["x"])
+                    & (pdf["y"] == last["y"]))
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                out = _assemble_batch(body, config)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _assemble_batch(carry, config)
+            if out is not None:
+                yield out
+
+    return process
+
+
+def _assemble_batch(pdf: pd.DataFrame, config: EngineConfig):
+    pdf = _batch_prepare(pdf, config)
+    zs, xs, ys, tiles, nfs, nbs = [], [], [], [], [], []
+    for (z, x, y), g in pdf.groupby(["z", "x", "y"], sort=False):
+        tile, n = _assemble_one_tile(int(z), int(x), int(y), g, config,
+                                     prepared=True)
+        if n == 0:
+            continue
+        zs.append(np.int32(z))
+        xs.append(np.int64(x))
+        ys.append(np.int64(y))
+        tiles.append(tile)
+        nfs.append(np.int32(n))
+        nbs.append(np.int32(len(tile)))
+    if not zs:
+        return None
+    return pd.DataFrame({"z": zs, "x": xs, "y": ys, "tile": tiles,
+                         "n_features": nfs, "n_bytes": nbs})
+
+
+def assemble_tiles(feature_tiles, config: EngineConfig,
+                   num_partitions: int | None = None):
     """feature_tiles (with z, x, y + feature cols) -> tiles DataFrame.
 
-    The groupBy keys on (z, x, y); Spark's AQE handles shuffle-size skew
-    and `apply_feature_limit` (called upstream) bounds group cardinality.
+    Physical plan: one shuffle on the tile key (hash repartition), sort
+    within partitions so each tile's rows are contiguous, then a
+    streaming mapInPandas that cuts tiles at group boundaries. Low-zoom
+    hot tiles (city-center skew) are bounded upstream by
+    `apply_feature_limit` / `hot_tile_salt`.
     """
     cols = ["z", "x", "y", "feature_id", "layer", "geom_type", "z_order",
             "attrs", "geom"]
-    return (feature_tiles.select(*cols)
-            .groupBy("z", "x", "y")
-            .applyInPandas(make_assembler(config), schema=TILE_SCHEMA))
+    df = feature_tiles.select(*cols)
+    if num_partitions:
+        df = df.repartition(num_partitions, "z", "x", "y")
+    else:
+        df = df.repartition("z", "x", "y")
+    return (df.sortWithinPartitions("z", "x", "y")
+            .mapInPandas(make_stream_assembler(config), schema=TILE_SCHEMA))

@@ -1,0 +1,447 @@
+"""Tile sinks: MBTiles (S5), PMTiles (S6), file-per-tile (S7),
+merge-read of an existing tileset (S8/J9), Hilbert write clustering (O4).
+
+The parallel source of truth is always the ``tiles`` DataFrame /
+parquet table (z:int, x:long, y:long, tile:binary); the single-file
+container formats are a final single-writer export — exactly the
+reference's io_mutex-serialized writes (src/mbtiles.cpp:82-93), done
+once at the end instead of per tile. At cluster scale the export
+streams via toLocalIterator over a Hilbert-sorted DataFrame, so the
+driver never holds the full tileset.
+
+References: MBTiles schema src/mbtiles.cpp:20-99; TMS y-flip
+src/mbtiles.cpp:60; PMTiles layout src/pmtiles.cpp:16-173 +
+include/external/pmtiles.hpp (spec: github.com/protomaps/PMTiles);
+metadata.json src/shared_data.cpp:70-104,181-206; merge
+src/tile_worker.cpp:405-417,486-490.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import sqlite3
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tilemaker_spark.functions import mvt
+
+
+# ----------------------------------------------------- Hilbert tile ids
+
+def hilbert_d(z: int, x: int, y: int) -> int:
+    """Hilbert curve index of (x, y) on the 2^z grid (pmtiles ordering,
+    include/external/pmtiles.hpp:414 zxy_to_tileid)."""
+    rx, ry, d = 0, 0, 0
+    n = 1 << z
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def zxy_to_tileid(z: int, x: int, y: int) -> int:
+    """Global PMTiles tile id: offset of zoom z + hilbert index."""
+    acc = 0
+    for t in range(z):
+        acc += 1 << (2 * t)
+    return acc + hilbert_d(z, x, y)
+
+
+def with_tileid(tiles: DataFrame) -> DataFrame:
+    """Add the PMTiles tile id as a column (pure Column math: the zoom
+    offset is a lookup; the hilbert index via a vectorized UDF would
+    break codegen, so we compute it where needed on the export path)."""
+    @pandas_udf("long")
+    def tid(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series([zxy_to_tileid(int(a), int(b), int(c))
+                          for a, b, c in zip(z, x, y)])
+
+    return tiles.withColumn("tileid", tid("z", "x", "y"))
+
+
+# ------------------------------------------------------------- MBTiles
+
+def write_mbtiles(tiles: DataFrame, path: str, metadata: dict | None = None,
+                  batch: int = 2000) -> int:
+    """Export tiles to an MBTiles (sqlite) file; returns tile count.
+
+    Schema + insert-or-replace semantics per src/mbtiles.cpp:20-99;
+    y is TMS-flipped (2^z - 1 - y). Streams Hilbert-ordered partitions
+    through the driver (single writer, bounded memory).
+    """
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("CREATE TABLE metadata (name text, value text)")
+    cur.execute("CREATE TABLE tiles (zoom_level integer, tile_column integer, "
+                "tile_row integer, tile_data blob)")
+    cur.execute("CREATE UNIQUE INDEX tile_index ON tiles "
+                "(zoom_level, tile_column, tile_row)")
+    for k, v in (metadata or {}).items():
+        cur.execute("INSERT INTO metadata VALUES (?, ?)",
+                    (k, v if isinstance(v, str) else json.dumps(v)))
+    n = 0
+    buf = []
+    ordered = with_tileid(tiles).repartitionByRange(32, "tileid") \
+        .sortWithinPartitions("tileid")
+    for row in ordered.select("z", "x", "y", "tile").toLocalIterator():
+        flipped = (1 << row.z) - 1 - row.y
+        buf.append((row.z, row.x, flipped, sqlite3.Binary(bytes(row.tile))))
+        if len(buf) >= batch:
+            cur.executemany("INSERT OR REPLACE INTO tiles VALUES (?,?,?,?)", buf)
+            n += len(buf)
+            buf = []
+    if buf:
+        cur.executemany("INSERT OR REPLACE INTO tiles VALUES (?,?,?,?)", buf)
+        n += len(buf)
+    con.commit()
+    con.close()
+    return n
+
+
+def read_mbtiles(spark, path: str) -> DataFrame:
+    """S8 merge-read: load an existing MBTiles into a tiles DataFrame
+    (y un-flipped back to XYZ)."""
+    con = sqlite3.connect(path)
+    rows = con.execute("SELECT zoom_level, tile_column, tile_row, tile_data "
+                       "FROM tiles").fetchall()
+    con.close()
+    data = [(int(z), int(x), (1 << int(z)) - 1 - int(y), bytes(b))
+            for z, x, y, b in rows]
+    return spark.createDataFrame(data, "z int, x long, y long, tile binary")
+
+
+# ------------------------------------------------------------- PMTiles
+
+_PM_MAGIC = b"PMTiles"
+_PM_VERSION = 3
+
+
+def _pm_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pm_header(root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
+               data_off, data_len, n_addressed, n_entries, n_contents,
+               clustered, minz, maxz, bounds) -> bytes:
+    h = bytearray(127)
+    h[0:7] = _PM_MAGIC
+    h[7] = _PM_VERSION
+    struct.pack_into("<QQQQQQQQ", h, 8, root_off, root_len, meta_off,
+                     meta_len, leaf_off, leaf_len, data_off, data_len)
+    struct.pack_into("<QQQ", h, 72, n_addressed, n_entries, n_contents)
+    h[96] = 1 if clustered else 0
+    h[97] = 0x2  # internal compression: gzip
+    h[98] = 0x0  # tile compression: none (tiles may carry their own gzip)
+    h[99] = 0x1  # tile type: mvt
+    h[100] = minz
+    h[101] = maxz
+    min_lon, min_lat, max_lon, max_lat = bounds
+    struct.pack_into("<iiii", h, 102, int(min_lon * 1e7), int(min_lat * 1e7),
+                     int(max_lon * 1e7), int(max_lat * 1e7))
+    h[118] = min(maxz, 14)  # center zoom
+    struct.pack_into("<ii", h, 119, int((min_lon + max_lon) / 2 * 1e7),
+                     int((min_lat + max_lat) / 2 * 1e7))
+    return bytes(h)
+
+
+def _pm_serialize_dir(entries) -> bytes:
+    """entries: list of (tileid, offset, length, run_length)."""
+    out = bytearray()
+    out += _pm_varint(len(entries))
+    last = 0
+    for tid, _, _, _ in entries:
+        out += _pm_varint(tid - last)
+        last = tid
+    for _, _, _, rl in entries:
+        out += _pm_varint(rl)
+    for _, _, ln, _ in entries:
+        out += _pm_varint(ln)
+    prev_off = prev_len = None
+    for _, off, ln, _ in entries:
+        if prev_off is not None and off == prev_off + prev_len:
+            out += _pm_varint(0)
+        else:
+            out += _pm_varint(off + 1)
+        prev_off, prev_len = off, ln
+    return bytes(out)
+
+
+def write_pmtiles(tiles: DataFrame, path: str,
+                  metadata: dict | None = None) -> int:
+    """Export tiles to a PMTiles v3 archive (clustered, Hilbert order,
+    run-length dedup of identical consecutive tiles). Root-directory
+    only (fine for sandbox scales; leaf dirs are an export-time concern,
+    not an engine one). Returns addressed tile count."""
+    ordered = with_tileid(tiles).repartitionByRange(32, "tileid") \
+        .sortWithinPartitions("tileid")
+    entries = []  # (tileid, offset, length, run_length)
+    data = bytearray()
+    seen_ranges = {}  # tile bytes hash -> (offset, length) dedup
+    minz, maxz = 99, 0
+    n_addressed = 0
+    for row in ordered.select("tileid", "z", "tile").toLocalIterator():
+        b = bytes(row.tile)
+        minz, maxz = min(minz, row.z), max(maxz, row.z)
+        n_addressed += 1
+        key = hash(b)
+        if key in seen_ranges:
+            off, ln = seen_ranges[key]
+        else:
+            off, ln = len(data), len(b)
+            data += b
+            seen_ranges[key] = (off, ln)
+        if entries and entries[-1][0] + entries[-1][3] == row.tileid \
+                and entries[-1][1] == off:
+            tid0, o0, l0, rl = entries[-1]
+            entries[-1] = (tid0, o0, l0, rl + 1)
+        else:
+            entries.append((row.tileid, off, ln, 1))
+    root = gzip.compress(_pm_serialize_dir(entries))
+    meta = gzip.compress(json.dumps(metadata or {}).encode())
+    root_off = 127
+    meta_off = root_off + len(root)
+    leaf_off = meta_off + len(meta)
+    data_off = leaf_off
+    header = _pm_header(root_off, len(root), meta_off, len(meta),
+                        leaf_off, 0, data_off, len(data),
+                        n_addressed, len(entries), len(seen_ranges),
+                        True, 0 if minz == 99 else minz, maxz,
+                        (-180.0, -85.06, 180.0, 85.06))
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(root)
+        f.write(meta)
+        f.write(bytes(data))
+    return n_addressed
+
+
+def read_pmtiles(spark, path: str) -> DataFrame:
+    """Read back a root-directory PMTiles archive into a tiles DF."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[0:7] == _PM_MAGIC and buf[7] == _PM_VERSION
+    (root_off, root_len, _mo, _ml, _lo, _ll, data_off, _dl) = struct.unpack_from(
+        "<QQQQQQQQ", buf, 8)
+    d = gzip.decompress(buf[root_off:root_off + root_len])
+    pos = 0
+
+    def rv():
+        nonlocal pos
+        shift = val = 0
+        while True:
+            b = d[pos]
+            pos += 1
+            val |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return val
+            shift += 7
+
+    n = rv()
+    tids, rls, lens, offs = [], [], [], []
+    last = 0
+    for _ in range(n):
+        last += rv()
+        tids.append(last)
+    for _ in range(n):
+        rls.append(rv())
+    for _ in range(n):
+        lens.append(rv())
+    prev_off = prev_len = 0
+    for i in range(n):
+        v = rv()
+        off = prev_off + prev_len if v == 0 else v - 1
+        offs.append(off)
+        prev_off, prev_len = off, lens[i]
+    rows = []
+    for tid, rl, ln, off in zip(tids, rls, lens, offs):
+        for k in range(rl):
+            z, x, y = tileid_to_zxy(tid + k)
+            rows.append((z, x, y, bytes(buf[data_off + off:data_off + off + ln])))
+    return spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+
+
+def tileid_to_zxy(tid: int):
+    z = 0
+    acc = 0
+    while acc + (1 << (2 * z)) <= tid:
+        acc += 1 << (2 * z)
+        z += 1
+    d = tid - acc
+    # inverse hilbert
+    n = 1 << z
+    x = y = 0
+    s = 1
+    t = d
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s <<= 1
+    return z, x, y
+
+
+# ------------------------------------------------------- file-per-tile
+
+def write_tile_directory(tiles: DataFrame, out_dir: str,
+                         metadata: dict | None = None) -> int:
+    """S7: {out}/{z}/{x}/{y}.pbf + metadata.json — fully parallel
+    (foreachPartition writes its own files; no single-writer choke)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            d = os.path.join(out_dir, str(r.z), str(r.x))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{r.y}.pbf"), "wb") as f:
+                f.write(bytes(r.tile))
+
+    tiles.select("z", "x", "y", "tile").foreachPartition(write_part)
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(metadata or {}, f)
+    n = 0
+    for root, _, files in os.walk(out_dir):
+        n += sum(1 for fn in files if fn.endswith(".pbf"))
+    return n
+
+
+# ------------------------------------------------------ merge (S8/J9)
+
+def merge_tilesets(old: DataFrame, new: DataFrame,
+                   compress: str = "none") -> DataFrame:
+    """J9: full-outer merge on (z, x, y); where both sides have a tile,
+    decode both MVTs and concatenate their layers (existing features
+    copied through, reference src/tile_worker.cpp:405-417). Runs as a
+    distributed mapInPandas over the co-partitioned union."""
+    tagged = (old.select("z", "x", "y", F.col("tile").alias("tile"),
+                         F.lit(0).alias("src"))
+              .unionByName(new.select("z", "x", "y", "tile",
+                                      F.lit(1).alias("src"))))
+
+    def merge_batches(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf.iloc[-1]
+            mask = ((pdf["z"] == last["z"]) & (pdf["x"] == last["x"])
+                    & (pdf["y"] == last["y"]))
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                out = _merge_tile_groups(body, compress)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _merge_tile_groups(carry, compress)
+            if out is not None:
+                yield out
+
+    return (tagged.repartition("z", "x", "y")
+            .sortWithinPartitions("z", "x", "y", "src")
+            .mapInPandas(merge_batches, schema="z int, x long, y long, tile binary"))
+
+
+def _merge_tile_groups(pdf, compress):
+    zs, xs, ys, outs = [], [], [], []
+    for (z, x, y), g in pdf.groupby(["z", "x", "y"], sort=False):
+        blobs = [bytes(b) for b in g["tile"]]
+        if len(blobs) == 1:
+            merged = blobs[0]
+        else:
+            merged = _concat_mvt_layers(blobs, compress)
+        zs.append(z)
+        xs.append(x)
+        ys.append(y)
+        outs.append(merged)
+    if not zs:
+        return None
+    return pd.DataFrame({"z": zs, "x": xs, "y": ys, "tile": outs})
+
+
+def _concat_mvt_layers(blobs, compress):
+    """Concatenate raw MVT layer messages — layers are repeated field 3
+    of the Tile message, so merging is byte-level concatenation of the
+    (possibly decompressed) payloads."""
+    parts = []
+    for b in blobs:
+        if b[:2] == b"\x1f\x8b":
+            b = gzip.decompress(b)
+        parts.append(b)
+    merged = b"".join(parts)
+    if compress == "gzip":
+        merged = mvt.compress_tile(merged, "gzip")
+    return merged
+
+
+# ------------------------------------------------------- metadata (S7)
+
+def tileset_metadata(config, layer_attrs: dict | None = None,
+                     bounds=None) -> dict:
+    """metadata.json / MBTiles metadata rows incl. vector_layers
+    (src/shared_data.cpp:70-104, 181-206). layer_attrs: {layer: {attr:
+    'String'|'Number'|'Boolean'}} discovered from the features DF."""
+    vector_layers = []
+    for target, members in config.layer_order():
+        lc = config.layers[members[0]]
+        fields = {}
+        for m in members:
+            for k, v in (layer_attrs or {}).get(m, {}).items():
+                fields[k] = v
+        vector_layers.append({
+            "id": target, "minzoom": lc.minzoom, "maxzoom": lc.maxzoom,
+            "fields": fields})
+    b = bounds or config.bounding_box
+    return {
+        "name": config.name, "format": "pbf", "type": "baselayer",
+        "version": "2", "minzoom": str(config.minzoom),
+        "maxzoom": str(config.maxzoom),
+        "bounds": ",".join(str(v) for v in b),
+        "json": json.dumps({"vector_layers": vector_layers}),
+    }
+
+
+def discover_layer_attrs(features: DataFrame) -> dict:
+    """Dynamic vector_layers field discovery
+    (src/osm_lua_processing.cpp:978-981): distinct attr keys per layer.
+    All our attrs are strings at the features level."""
+    rows = (features.select("layer", F.explode(F.map_keys("attrs"))
+                            .alias("k"))
+            .distinct().collect())
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r.layer, {})[r.k] = "String"
+    return out
