@@ -252,6 +252,50 @@ def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, PROBE_IDS, k=TOPK)
 
 
+def _q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9 + G13/G14: centroid, spherical area, haversine perimeter of
+    the checkerboard squares (closed-form SQL oracle)."""
+    from tilemaker_spark.fixtures import make_layer_polygons
+    from tilemaker_spark.operators.measures import geometry_measures
+    polys = make_layer_polygons(spark).filter(F.col("layer") == "countries")
+    out = geometry_measures(polys)
+    return out.select(
+        "name",
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("area_m2", 0).alias("area_m2"),
+        F.round("perimeter_m", 3).alias("perimeter_m"))
+
+
+def _q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J7/J8: multipolygon assembly over the FIXTURES §3 relations
+    (geometry stitch is non-SQL-expressible -> rows-only check)."""
+    from tilemaker_spark.fixtures import make_relations
+    from tilemaker_spark.operators.relations import features_from_relations
+    relations, rel_ways, rel_nodes = make_relations(spark)
+    feats = features_from_relations(relations, rel_ways, rel_nodes)
+    return feats.select("feature_id", "layer", F.size("geom").alias("n_rings"))
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary image column -> decoded stats via mapInPandas
+    (deterministic fake codec; rows-only check)."""
+    from tilemaker_spark.operators import multimodal as MM
+    media = MM.make_media(spark, 300)
+    out = MM.decode_images(media)
+    return out.select("doc_id", "width", "height",
+                      F.round("mean_intensity", 4).alias("mean_intensity"))
+
+
+def _q_media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: image grid embeddings -> cosine top-3 (rows-only)."""
+    from tilemaker_spark.operators import multimodal as MM
+    from tilemaker_spark.operators.similarity import cosine_topk
+    media = MM.make_media(spark, 150)
+    emb = MM.image_embeddings(media).withColumnRenamed("doc_id", "vec_id")
+    return cosine_topk(emb, [0, 3, 6], k=3)
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilemaker_spark.operators.text_analysis import winnow_fingerprints
     d = _docs(spark, sf_dir)
@@ -298,7 +342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "embedding_topk": _q_embed_topk,
         "embedding_ivf_topk": _q_embed_ivf,
+        "geom_measures": _q_geom_measures,
+        "relations_multipolygon": _q_relations,
         "winnow_fingerprints": _q_winnow,
+        "media_image_stats": _q_media_decode,
+        "media_embed_knn": _q_media_embed_knn,
         "tiles_e2e": _q_tiles_e2e,
     }
 
@@ -573,6 +621,23 @@ ranked AS (SELECT probe_id, vec_id, cos_sim,
 SELECT probe_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOPK}"""
 
-    # winnow_fingerprints, tiles_e2e: non-SQL-expressible (pandas-UDF
-    # rolling hash / binary MVT assembly) -> rows-only check.
+    q["geom_measures"] = """
+WITH squares AS (
+  SELECT 'C' || CAST(i AS VARCHAR) || CAST(j AS VARCHAR) AS name,
+         -5.0 + i AS x0, 38.0 + j AS y0, -4.0 + i AS x1, 39.0 + j AS y1
+  FROM range(10) s(i), range(10) t(j))
+SELECT name,
+       round((x0 + x1) / 2.0, 6) AS centroid_lon,
+       round((y0 + y1) / 2.0, 6) AS centroid_lat,
+       round(6371000.0 * 6371000.0 * radians(1.0)
+             * (sin(radians(y1)) - sin(radians(y0))), 0) AS area_m2,
+       round(2.0 * 6371000.0 * radians(1.0)
+             + 2.0 * 6371000.0 * asin(cos(radians(y1)) * sin(radians(0.5)))
+             + 2.0 * 6371000.0 * asin(cos(radians(y0)) * sin(radians(0.5))),
+             3) AS perimeter_m
+FROM squares"""
+
+    # winnow_fingerprints, tiles_e2e, relations_multipolygon:
+    # non-SQL-expressible (pandas-UDF rolling hash / binary MVT assembly /
+    # geometric ring stitch) -> rows-only check.
     return q

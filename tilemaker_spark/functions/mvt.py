@@ -204,6 +204,36 @@ def encode_tile(layers) -> bytes:
     return bytes(out)
 
 
+def merge_tiles(blobs) -> bytes:
+    """Merge several Tile messages into one: features of same-named
+    layers are concatenated into a single layer (the MVT spec requires
+    unique layer names per tile). Used to combine salted partial tiles
+    of one hot (z, x, y) and for --merge tileset unions.
+
+    Geometry command streams are decoded and re-encoded (delta ints are
+    relative within a feature, so this is a lossless roundtrip)."""
+    merged: dict = {}
+    order: list = []
+    for b in blobs:
+        for name, ld in decode_tile(b).items():
+            if name not in merged:
+                merged[name] = LayerBuilder(name, extent=ld["extent"],
+                                            version=ld.get("version", 2))
+                order.append(name)
+            lb = merged[name]
+            for f in ld["features"]:
+                t = f["type"]
+                if t == GEOM_POINT:
+                    geom = encode_point_geometry([p[0] for p in f["geom"]])
+                elif t == GEOM_LINESTRING:
+                    geom = encode_line_geometry(f["geom"])
+                else:
+                    geom = encode_polygon_geometry(f["geom"])
+                lb.add_feature(t, geom, attrs=sorted(f["attrs"].items()),
+                               feature_id=f["id"])
+    return encode_tile([merged[n] for n in order])
+
+
 def compress_tile(tile: bytes, mode: str = "gzip") -> bytes:
     """gzip/deflate per config.compress (reference src/helpers.cpp:103-178).
     mtime pinned to 0 for byte-stable output across runs."""

@@ -222,16 +222,17 @@ def make_assembler(config: EngineConfig):
     return assemble
 
 
-def make_stream_assembler(config: EngineConfig):
+def make_stream_assembler(config: EngineConfig, key_cols=("z", "x", "y")):
     """mapInPandas variant: one Python call per Arrow batch, not per tile.
 
-    Input batches arrive sorted by (z, x, y) within the partition (the
+    Input batches arrive sorted by key_cols within the partition (the
     caller repartitions on the tile key and sorts); a tile whose rows
     straddle a batch boundary is carried into the next batch. This is
     the difference between ~1M per-group UDF invocations and a few
     hundred per-batch ones — per-group overhead dominates end-to-end
     tiles/sec at planet scale.
     """
+    keys = list(key_cols)
 
     def process(batches):
         carry = None
@@ -241,8 +242,10 @@ def make_stream_assembler(config: EngineConfig):
             if len(pdf) == 0:
                 continue
             last = pdf.iloc[-1]
-            mask = ((pdf["z"] == last["z"]) & (pdf["x"] == last["x"])
-                    & (pdf["y"] == last["y"]))
+            mask = None
+            for k in keys:
+                m = pdf[k] == last[k]
+                mask = m if mask is None else (mask & m)
             carry = pdf[mask]
             body = pdf[~mask]
             if len(body):
@@ -277,22 +280,98 @@ def _assemble_batch(pdf: pd.DataFrame, config: EngineConfig):
                          "n_features": nfs, "n_bytes": nbs})
 
 
+def _default_partitions(df) -> int:
+    # explicit partition count: a user-specified repartition is exempt
+    # from AQE coalescing, which would otherwise collapse this shuffle to
+    # a handful of 64MB partitions and cap the Python-side parallelism
+    return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
 def assemble_tiles(feature_tiles, config: EngineConfig,
                    num_partitions: int | None = None):
     """feature_tiles (with z, x, y + feature cols) -> tiles DataFrame.
 
-    Physical plan: one shuffle on the tile key (hash repartition), sort
-    within partitions so each tile's rows are contiguous, then a
-    streaming mapInPandas that cuts tiles at group boundaries. Low-zoom
-    hot tiles (city-center skew) are bounded upstream by
-    `apply_feature_limit` / `hot_tile_salt`.
+    Physical plan: one shuffle on the tile key (hash repartition, explicit
+    partition count so AQE cannot under-parallelize the CPU-bound encode),
+    sort within partitions so each tile's rows are contiguous, then a
+    streaming mapInPandas that cuts tiles at group boundaries. For inputs
+    with city-center skew use :func:`assemble_tiles_salted`.
     """
     cols = ["z", "x", "y", "feature_id", "layer", "geom_type", "z_order",
             "attrs", "geom"]
     df = feature_tiles.select(*cols)
-    if num_partitions:
-        df = df.repartition(num_partitions, "z", "x", "y")
-    else:
-        df = df.repartition("z", "x", "y")
+    df = df.repartition(num_partitions or _default_partitions(df),
+                        "z", "x", "y")
     return (df.sortWithinPartitions("z", "x", "y")
             .mapInPandas(make_stream_assembler(config), schema=TILE_SCHEMA))
+
+
+def assemble_tiles_salted(feature_tiles, config: EngineConfig,
+                          num_partitions: int | None = None,
+                          threshold: int | None = None,
+                          salt: int | None = None):
+    """Skew-defusing two-phase assembly (the reference's zoom-weighted
+    batching, src/tilemaker.cpp:506-524, recast as explicit salted
+    repartitioning per the engine's scale contract):
+
+      1. tiles with > threshold features get a salt = feature_id % S;
+         repartition on (z, x, y, salt) so one hot tile's rows spread
+         over S tasks; assemble *partial* tiles per (z, x, y, salt),
+         uncompressed;
+      2. merge partial tiles per (z, x, y) — decode + concat same-name
+         layers + re-encode (only hot tiles pay this), then compress.
+
+    Cold tiles take phase 1 with salt=0 and pass through phase 2
+    untouched except final compression.
+    """
+    from tilemaker_spark.operators.tiling import hot_tile_salt
+
+    threshold = threshold if threshold is not None else config.hot_tile_threshold
+    salt = salt if salt is not None else config.hot_tile_salt
+
+    salted = hot_tile_salt(feature_tiles, threshold, salt)
+    cols = ["z", "x", "y", "salt", "feature_id", "layer", "geom_type",
+            "z_order", "attrs", "geom"]
+    df = salted.select(*cols)
+    df = df.repartition(num_partitions or _default_partitions(df),
+                        "z", "x", "y", "salt")
+    partial = (df.sortWithinPartitions("z", "x", "y", "salt")
+               .mapInPandas(
+                   make_stream_assembler(config,
+                                         key_cols=("z", "x", "y", "salt")),
+                   schema=TILE_SCHEMA))
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    compress_mode = config.compress
+
+    @pandas_udf("binary")
+    def merge_blobs(blobs: pd.Series) -> pd.Series:
+        # cold tiles (one partial) pass through untouched; hot tiles
+        # decompress partials, merge layers, recompress
+        import gzip as _gzip
+        import zlib as _zlib
+        out = []
+        for bl in blobs:
+            parts = [bytes(b) for b in bl]
+            if len(parts) == 1:
+                out.append(parts[0])
+                continue
+            raw = []
+            for p in parts:
+                if p[:2] == b"\x1f\x8b":
+                    p = _gzip.decompress(p)
+                elif compress_mode == "deflate":
+                    p = _zlib.decompress(p)
+                raw.append(p)
+            out.append(mvt.compress_tile(mvt.merge_tiles(raw), compress_mode))
+        return pd.Series(out)
+
+    merged = (partial.groupBy("z", "x", "y")
+              .agg(F.collect_list("tile").alias("_blobs"),
+                   F.sum("n_features").cast("int").alias("n_features"))
+              .withColumn("tile", merge_blobs(F.col("_blobs")))
+              .withColumn("n_bytes", F.length("tile").cast("int"))
+              .select("z", "x", "y", "tile", "n_features", "n_bytes"))
+    return merged

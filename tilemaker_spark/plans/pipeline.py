@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from tilemaker_spark.config import EngineConfig, default_config
 from tilemaker_spark.operators.profile import features_from_pages, features_from_ways
-from tilemaker_spark.operators.tile_assembly import assemble_tiles
+from tilemaker_spark.operators.tile_assembly import (
+    assemble_tiles,
+    assemble_tiles_salted,
+)
 from tilemaker_spark.operators.tiling import (
     ancestor_rollup,
     apply_feature_limit,
@@ -112,8 +115,12 @@ class TilePipeline:
             ft = apply_feature_limit(ft, max_limit, max_below)
         ft = self._checkpoint(ft, "feature_tiles", force=force)
 
-        # Stage 3 — per-tile assembly -> tiles
-        tiles = assemble_tiles(ft, cfg)
+        # Stage 3 — per-tile assembly -> tiles (salted two-phase when the
+        # config enables hot-tile salting: city-center skew defense)
+        if cfg.hot_tile_salt > 1:
+            tiles = assemble_tiles_salted(ft, cfg)
+        else:
+            tiles = assemble_tiles(ft, cfg)
         tiles = self._checkpoint(tiles, "tiles", force=force)
 
         self.metrics["total_seconds"] = round(time.time() - t_start, 3)
