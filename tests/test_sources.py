@@ -1,0 +1,98 @@
+"""External layer sources: WKT tables, GeoJSON (JSONL + collection)."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark import sources
+from tilemaker_spark.functions import geomnp as G
+
+
+def test_wkt_point_line(spark):
+    df = spark.createDataFrame(
+        [("a", "POINT(1 2)", "x"), ("b", "LINESTRING(0 0, 1 1, 2 0)", "y")],
+        "name string, wkt string, extra string")
+    out = {r.name: r for r in
+           sources.read_wkt_layer(df, "test").collect()}
+    assert out["a"].geom_type == G.GEOM_POINT
+    assert out["a"].rings == [[1.0, 2.0]]
+    assert out["b"].geom_type == G.GEOM_LINE
+    assert out["b"].rings == [[0.0, 0.0, 1.0, 1.0, 2.0, 0.0]]
+    assert out["a"].attrs == {"extra": "x"}
+
+
+def test_wkt_polygon_winding_and_close(spark):
+    # outer clockwise-in-lonlat with duplicated closing point + hole
+    wkt = ("POLYGON((0 0, 0 4, 4 4, 4 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    df = spark.createDataFrame([("p", wkt)], "name string, wkt string")
+    r = sources.read_wkt_layer(df, "test").first()
+    rings = [np.asarray(x).reshape(-1, 2) for x in r.rings]
+    assert len(rings) == 2
+    assert len(rings[0]) == 4       # closing point dropped
+    assert G.ring_area(rings[0]) > 0    # outer forced positive
+    assert G.ring_area(rings[1]) < 0    # hole opposite
+
+
+def test_wkt_multipolygon(spark):
+    wkt = "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    df = spark.createDataFrame([("mp", wkt)], "name string, wkt string")
+    r = sources.read_wkt_layer(df, "test").first()
+    polys = G.iter_polygons([np.asarray(x).reshape(-1, 2) for x in r.rings])
+    assert len(polys) == 2
+
+
+def test_wkt_source_columns_projection(spark):
+    df = spark.createDataFrame(
+        [("a", "POINT(0 0)", "keepme", "dropme")],
+        "name string, wkt string, good string, bad string")
+    r = sources.read_wkt_layer(df, "test", source_columns=["good"]).first()
+    assert r.attrs == {"good": "keepme"}
+
+
+def test_geojson_jsonl(spark, tmp_path):
+    p = tmp_path / "feats.jsonl"
+    feats = [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [10.0, 20.0]},
+         "properties": {"name": "pt1", "kind": "poi"}},
+        {"type": "Feature",
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]},
+         "properties": {"name": "sq", "kind": "area"}},
+    ]
+    with open(p, "w") as f:
+        for ft in feats:
+            f.write(json.dumps(ft) + "\n")
+    out = {r.name: r for r in
+           sources.read_geojson(spark, str(p), "gj").collect()}
+    assert out["pt1"].geom_type == G.GEOM_POINT
+    assert out["pt1"].attrs["kind"] == "poi"
+    assert out["sq"].geom_type == G.GEOM_POLYGON
+    ring = np.asarray(out["sq"].rings[0]).reshape(-1, 2)
+    assert len(ring) == 4
+
+
+def test_geojson_feature_collection(spark, tmp_path):
+    p = tmp_path / "fc.geojson"
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "MultiLineString",
+                      "coordinates": [[[0, 0], [1, 1]], [[2, 2], [3, 3]]]},
+         "properties": {"name": "ml"}},
+    ]}
+    with open(p, "w") as f:
+        json.dump(fc, f)
+    out = sources.read_geojson(spark, str(p), "gj").collect()
+    assert len(out) == 1
+    assert out[0].geom_type == G.GEOM_LINE
+    assert len(out[0].rings) == 2
+
+
+def test_probe_bbox(spark):
+    df = spark.createDataFrame(
+        [("a", "LINESTRING(-3 2, 5 7)"), ("b", "POINT(10 -4)")],
+        "name string, wkt string")
+    layer = sources.read_wkt_layer(df, "test")
+    assert sources.probe_bbox(layer) == (-3.0, -4.0, 10.0, 7.0)

@@ -319,17 +319,32 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
          over S tasks; assemble *partial* tiles per (z, x, y, salt),
          uncompressed;
       2. merge partial tiles per (z, x, y) — decode + concat same-name
-         layers + re-encode (only hot tiles pay this), then compress.
-
-    Cold tiles take phase 1 with salt=0 and pass through phase 2
-    untouched except final compression.
+         layers + re-encode + recompress; ONLY hot tiles take this path
+         (cold tiles are split off by a broadcast anti-join against the
+         small hot-key set, so they are complete after phase 1 with no
+         second shuffle).
     """
-    from tilemaker_spark.operators.tiling import hot_tile_salt
+    from pyspark.sql import functions as F
 
     threshold = threshold if threshold is not None else config.hot_tile_threshold
     salt = salt if salt is not None else config.hot_tile_salt
 
-    salted = hot_tile_salt(feature_tiles, threshold, salt)
+    counts = feature_tiles.groupBy("z", "x", "y").agg(F.count("*").alias("_n"))
+    # materialize the hot-key set once (small by construction: tiles with
+    # > threshold features) — reused by three joins below
+    spark = feature_tiles.sparkSession
+    hot_rows = counts.filter(F.col("_n") > threshold).drop("_n").collect()
+    if not hot_rows:
+        return assemble_tiles(feature_tiles, config, num_partitions)
+    hot_keys = spark.createDataFrame(hot_rows, "z int, x long, y long")
+    joined = feature_tiles.join(
+        F.broadcast(hot_keys.withColumn("_hot", F.lit(1))),
+        ["z", "x", "y"], "left")
+    salted = (joined.withColumn(
+        "salt", F.when(F.col("_hot").isNotNull(),
+                       (F.col("feature_id") % salt).cast("int"))
+        .otherwise(F.lit(0))).drop("_hot"))
+
     cols = ["z", "x", "y", "salt", "feature_id", "layer", "geom_type",
             "z_order", "attrs", "geom"]
     df = salted.select(*cols)
@@ -341,37 +356,68 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
                                          key_cols=("z", "x", "y", "salt")),
                    schema=TILE_SCHEMA))
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
+    cold = partial.join(F.broadcast(hot_keys), ["z", "x", "y"], "left_anti")
+    hot_partial = partial.join(F.broadcast(hot_keys), ["z", "x", "y"],
+                               "left_semi")
 
     compress_mode = config.compress
 
-    @pandas_udf("binary")
-    def merge_blobs(blobs: pd.Series) -> pd.Series:
-        # cold tiles (one partial) pass through untouched; hot tiles
-        # decompress partials, merge layers, recompress
+    def merge_stream(batches):
+        # same carry pattern as assembly: partial tiles of one (z,x,y)
+        # are contiguous after the sort; merge runs where >1 partial
         import gzip as _gzip
         import zlib as _zlib
-        out = []
-        for bl in blobs:
-            parts = [bytes(b) for b in bl]
-            if len(parts) == 1:
-                out.append(parts[0])
-                continue
-            raw = []
-            for p in parts:
-                if p[:2] == b"\x1f\x8b":
-                    p = _gzip.decompress(p)
-                elif compress_mode == "deflate":
-                    p = _zlib.decompress(p)
-                raw.append(p)
-            out.append(mvt.compress_tile(mvt.merge_tiles(raw), compress_mode))
-        return pd.Series(out)
 
-    merged = (partial.groupBy("z", "x", "y")
-              .agg(F.collect_list("tile").alias("_blobs"),
-                   F.sum("n_features").cast("int").alias("n_features"))
-              .withColumn("tile", merge_blobs(F.col("_blobs")))
-              .withColumn("n_bytes", F.length("tile").cast("int"))
-              .select("z", "x", "y", "tile", "n_features", "n_bytes"))
-    return merged
+        def _merge_group(pdf: pd.DataFrame):
+            zs, xs, ys, tiles, nfs, nbs = [], [], [], [], [], []
+            for (z, x, y), g in pdf.groupby(["z", "x", "y"], sort=False):
+                parts = [bytes(b) for b in g["tile"]]
+                if len(parts) == 1:
+                    t = parts[0]
+                else:
+                    raw = []
+                    for p in parts:
+                        if p[:2] == b"\x1f\x8b":
+                            p = _gzip.decompress(p)
+                        elif compress_mode == "deflate":
+                            p = _zlib.decompress(p)
+                        raw.append(p)
+                    t = mvt.compress_tile(mvt.merge_tiles(raw), compress_mode)
+                zs.append(np.int32(z))
+                xs.append(np.int64(x))
+                ys.append(np.int64(y))
+                tiles.append(t)
+                nfs.append(np.int32(g["n_features"].sum()))
+                nbs.append(np.int32(len(t)))
+            if not zs:
+                return None
+            return pd.DataFrame({"z": zs, "x": xs, "y": ys, "tile": tiles,
+                                 "n_features": nfs, "n_bytes": nbs})
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf.iloc[-1]
+            mask = ((pdf["z"] == last["z"]) & (pdf["x"] == last["x"])
+                    & (pdf["y"] == last["y"]))
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                out = _merge_group(body)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _merge_group(carry)
+            if out is not None:
+                yield out
+
+    # hot tiles only: a small shuffle (S partials per hot tile)
+    merged_hot = (hot_partial
+                  .repartition(num_partitions or _default_partitions(partial),
+                               "z", "x", "y")
+                  .sortWithinPartitions("z", "x", "y")
+                  .mapInPandas(merge_stream, schema=TILE_SCHEMA))
+    return cold.unionByName(merged_hot)

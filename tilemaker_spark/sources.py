@@ -1,0 +1,266 @@
+"""External layer sources — the shapefile / GeoJSON analogs (S3/S4).
+
+Reference: SHP+DBF reader with column projection and ring->polygon
+winding assembly (src/shp_processor.cpp:110-279); GeoJSON
+FeatureCollection + JSONL reader (src/geojson_processor.cpp:17-77,
+199-283; JSONL chunking src/helpers.cpp:210).
+
+Spark shapes:
+  * JSONL GeoJSON is read by spark.read.json directly — newline-aligned
+    chunking is Spark's native text-split behavior, so the reference's
+    hand-rolled parallel chunker disappears.
+  * FeatureCollection files are a single JSON document: read via
+    multiLine json + explode(features).
+  * The shapefile analog reads a tabular source (parquet/CSV) carrying a
+    WKT geometry column + attribute columns; `source_columns` projection
+    is a select() (Catalyst prunes at scan).
+
+Output schema (the spatial-join build side / layer_polygons shape):
+    (layer, name, geom_type, rings array<array<double>>, attrs map)
+rings are flat [x,y,...] in (lon, lat), outer ring first, holes after
+(iter_polygons winding convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tilemaker_spark.functions import geomnp as G
+
+LAYER_SCHEMA = ("layer string, name string, geom_type int, "
+                "rings array<array<double>>, attrs map<string,string>")
+
+
+# ------------------------------------------------------------ WKT parse
+
+def _parse_wkt(wkt: str):
+    """Minimal WKT parser: POINT/LINESTRING/POLYGON/MULTIPOLYGON/
+    MULTILINESTRING. Returns (geom_type, parts) with parts a list of
+    flat [x,y,...] python lists."""
+    s = wkt.strip()
+    head = s.split("(", 1)[0].strip().upper()
+    body = s[s.index("("):] if "(" in s else "()"
+
+    def coords(txt):
+        pts = []
+        for pair in txt.split(","):
+            xy = pair.strip().split()
+            pts.extend([float(xy[0]), float(xy[1])])
+        return pts
+
+    def rings_of(txt):
+        # txt like "(x y, x y, ...), (...)" — split top-level parens
+        out = []
+        depth = 0
+        cur = ""
+        for ch in txt:
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    continue
+            if ch == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append(coords(cur))
+                    continue
+            if depth >= 1:
+                cur += ch
+        return out
+
+    if head == "POINT":
+        return G.GEOM_POINT, [coords(body.strip("() "))]
+    if head == "LINESTRING":
+        return G.GEOM_LINE, [coords(body.strip("() "))]
+    if head == "MULTILINESTRING":
+        return G.GEOM_LINE, rings_of(body[1:-1])
+    if head == "POLYGON":
+        return G.GEOM_POLYGON, rings_of(body[1:-1])
+    if head == "MULTIPOLYGON":
+        parts = []
+        depth = 0
+        cur = ""
+        polys = []
+        for ch in body[1:-1]:
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    continue
+            if ch == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append(cur)
+                    continue
+            if depth >= 1:
+                cur += ch
+        for p in polys:
+            parts.extend(rings_of("(" + p + ")") if not p.startswith("(")
+                         else rings_of(p))
+        return G.GEOM_POLYGON, parts
+    raise ValueError(f"unsupported WKT type: {head}")
+
+
+def _orient_rings(geom_type: int, parts: list) -> list:
+    """Shapefile winding assembly (src/shp_processor.cpp:178-224):
+    make the first ring's orientation the outer convention; holes keep
+    the opposite sign. For robustness we force outer-positive."""
+    if geom_type != G.GEOM_POLYGON or not parts:
+        return parts
+    out = []
+    for ring in parts:
+        r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+        # drop duplicated closing point
+        if len(r) > 1 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        out.append(r)
+    if not out:
+        return []
+    oriented = []
+    first_sign = 1.0 if G.ring_area(out[0]) >= 0 else -1.0
+    for i, r in enumerate(out):
+        a = G.ring_area(r)
+        sign = 1.0 if a >= 0 else -1.0
+        is_outer = sign == first_sign
+        want_pos = is_outer
+        if (a >= 0) != want_pos:
+            r = r[::-1]
+        oriented.append(r.reshape(-1).tolist())
+    return oriented
+
+
+def read_wkt_layer(df: DataFrame, layer: str,
+                   wkt_col: str = "wkt",
+                   name_col: str = "name",
+                   source_columns: list | None = None) -> DataFrame:
+    """Shapefile-analog scan: tabular DataFrame with a WKT column ->
+    canonical layer schema. source_columns projects the attribute
+    columns kept in attrs (F9 column projection — a select, so parquet
+    scans only those columns)."""
+    attr_cols = source_columns or [
+        c for c in df.columns if c not in (wkt_col, name_col)]
+    proj = df.select(name_col, wkt_col, *attr_cols)
+
+    @pandas_udf("struct<geom_type:int, rings:array<array<double>>>")
+    def parse(wkt: pd.Series) -> pd.DataFrame:
+        types, rings = [], []
+        for w in wkt:
+            gt, parts = _parse_wkt(w)
+            types.append(gt)
+            rings.append(_orient_rings(gt, parts))
+        return pd.DataFrame({"geom_type": types, "rings": rings})
+
+    attrs = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in attr_cols]),
+        F.array(*[F.col(c).cast("string") for c in attr_cols])) \
+        if attr_cols else F.expr("map()")
+    return (proj.withColumn("_g", parse(F.col(wkt_col)))
+            .select(F.lit(layer).alias("layer"),
+                    F.col(name_col).alias("name"),
+                    F.col("_g.geom_type").alias("geom_type"),
+                    F.col("_g.rings").alias("rings"),
+                    attrs.alias("attrs")))
+
+
+# ----------------------------------------------------------- GeoJSON
+
+_GJ_TYPE_MAP = {"Point": G.GEOM_POINT, "LineString": G.GEOM_LINE,
+                "MultiLineString": G.GEOM_LINE, "Polygon": G.GEOM_POLYGON,
+                "MultiPolygon": G.GEOM_POLYGON, "MultiPoint": G.GEOM_POINT}
+
+
+def _gj_parts(gtype: str, coords) -> list:
+    if gtype == "Point":
+        return [[float(coords[0]), float(coords[1])]]
+    if gtype == "MultiPoint":
+        return [[float(v) for xy in coords for v in xy[:2]]]
+    if gtype == "LineString":
+        return [[float(v) for xy in coords for v in xy[:2]]]
+    if gtype == "MultiLineString":
+        return [[float(v) for xy in line for v in xy[:2]] for line in coords]
+    if gtype == "Polygon":
+        return [[float(v) for xy in ring for v in xy[:2]] for ring in coords]
+    if gtype == "MultiPolygon":
+        return [[float(v) for xy in ring for v in xy[:2]]
+                for poly in coords for ring in poly]
+    raise ValueError(f"unsupported GeoJSON type {gtype}")
+
+
+def read_geojson(spark: SparkSession, path: str, layer: str,
+                 name_attr: str = "name",
+                 jsonl: bool | None = None) -> DataFrame:
+    """GeoJSON scan: JSONL (one Feature per line, Spark-native splits)
+    or a single FeatureCollection document (multiLine read + explode).
+    """
+    if jsonl is None:
+        jsonl = path.endswith((".jsonl", ".ndjson"))
+    if jsonl:
+        raw = spark.read.json(path)
+        feats = raw
+    else:
+        raw = spark.read.option("multiLine", "true").json(path)
+        feats = raw.select(F.explode("features").alias("f")).select("f.*")
+
+    # properties arrive as a struct with file-dependent fields; geometry
+    # as struct<type, coordinates> with ragged nesting -> parse the
+    # geometry from re-serialized JSON in a vectorized UDF (schema-free)
+    gj = feats.select(
+        F.to_json(F.col("geometry")).alias("_geo"),
+        F.to_json(F.col("properties")).alias("_props"))
+
+    @pandas_udf("struct<geom_type:int, rings:array<array<double>>, "
+                "name:string, attrs:map<string,string>>")
+    def parse(geo: pd.Series, props: pd.Series) -> pd.DataFrame:
+        import json as _json
+        types, rings, names, attrs = [], [], [], []
+        for g, p in zip(geo, props):
+            gd = _json.loads(g)
+            pd_ = _json.loads(p) if p else {}
+            gt = _GJ_TYPE_MAP[gd["type"]]
+            # mixed geometry types in one file make Spark's schema
+            # inference fall back to strings at whatever nesting level
+            # unified — normalize recursively
+            def _norm(c):
+                if isinstance(c, str):
+                    s = c.strip()
+                    if s.startswith("["):
+                        return [_norm(x) for x in _json.loads(s)]
+                    return float(s)
+                if isinstance(c, list):
+                    return [_norm(x) for x in c]
+                return float(c)
+
+            parts = _gj_parts(gd["type"], _norm(gd["coordinates"]))
+            types.append(gt)
+            rings.append(_orient_rings(gt, parts))
+            names.append(str(pd_.get(name_attr, "")))
+            attrs.append({k: str(v) for k, v in pd_.items()})
+        return pd.DataFrame({"geom_type": types, "rings": rings,
+                             "name": names, "attrs": attrs})
+
+    return (gj.withColumn("_f", parse(F.col("_geo"), F.col("_props")))
+            .select(F.lit(layer).alias("layer"),
+                    F.col("_f.name").alias("name"),
+                    F.col("_f.geom_type").alias("geom_type"),
+                    F.col("_f.rings").alias("rings"),
+                    F.col("_f.attrs").alias("attrs")))
+
+
+# -------------------------------------------------------- bbox probe (S2)
+
+def probe_bbox(layer_df: DataFrame, rings_col: str = "rings") -> tuple:
+    """Dataset bbox via one aggregation (the reference's PBF header
+    probe, src/pbf_processor.cpp:762-785, generalized)."""
+    flat = layer_df.select(F.explode(rings_col).alias("r"))
+    per_row = flat.select(
+        F.expr("array_min(filter(r, (v, i) -> i % 2 = 0))").alias("x0"),
+        F.expr("array_max(filter(r, (v, i) -> i % 2 = 0))").alias("x1"),
+        F.expr("array_min(filter(r, (v, i) -> i % 2 = 1))").alias("y0"),
+        F.expr("array_max(filter(r, (v, i) -> i % 2 = 1))").alias("y1"))
+    row = per_row.agg(F.min("x0").alias("a"), F.min("y0").alias("b"),
+                      F.max("x1").alias("c"), F.max("y1").alias("d")).first()
+    return (row.a, row.b, row.c, row.d)
