@@ -252,6 +252,73 @@ def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, PROBE_IDS, k=TOPK)
 
 
+N_RECTS = 400  # probe rectangles for the area/covered-by joins
+
+# rect i (axis-aligned, overlapping the checkerboard):
+#   cx in [-4.5, 4.5), cy in [38.5, 47.5), half-extents in [0.05, 0.45)
+_RECT = dict(MX=2654435761, AX=40503, MY=2246822519, AY=12345,
+             MW=48271, AW=7, MH=69621, AH=11)
+
+
+def _rect_cols():
+    i = F.col("rect_id")
+    cx = ((i * _RECT["MX"] + _RECT["AX"]) % 9_000_000) / 1_000_000.0 - 4.5
+    cy = ((i * _RECT["MY"] + _RECT["AY"]) % 9_000_000) / 1_000_000.0 + 38.5
+    w = ((i * _RECT["MW"] + _RECT["AW"]) % 400_000) / 1_000_000.0 + 0.05
+    h = ((i * _RECT["MH"] + _RECT["AH"]) % 400_000) / 1_000_000.0 + 0.05
+    return cx - w, cy - h, cx + w, cy + h
+
+
+def _rect_sql():
+    r = _RECT
+    cx = f"(((rect_id * {r['MX']} + {r['AX']}) % 9000000) / 1000000.0 - 4.5)"
+    cy = f"(((rect_id * {r['MY']} + {r['AY']}) % 9000000) / 1000000.0 + 38.5)"
+    w = f"(((rect_id * {r['MW']} + {r['AW']}) % 400000) / 1000000.0 + 0.05)"
+    h = f"(((rect_id * {r['MH']} + {r['AH']}) % 400000) / 1000000.0 + 0.05)"
+    return (f"rects AS (SELECT rect_id, {cx} - {w} AS rx0, {cy} - {h} AS ry0, "
+            f"{cx} + {w} AS rx1, {cy} + {h} AS ry1 "
+            f"FROM range({N_RECTS}) t(rect_id))")
+
+
+def _rect_features(spark: SparkSession) -> DataFrame:
+    """Probe rectangles as polygon features in (lon, latp)."""
+    from tilemaker_spark.functions.coords import lat2latp_col
+    df = spark.range(N_RECTS).withColumnRenamed("id", "rect_id")
+    x0, y0, x1, y1 = _rect_cols()
+    p0, p1 = lat2latp_col(y0), lat2latp_col(y1)
+    ring = F.array(x0, p0, x1, p0, x1, p1, x0, p1)
+    return df.select(
+        F.col("rect_id").alias("feature_id"),
+        F.lit("rects").alias("layer"),
+        F.lit(3).alias("geom_type"),
+        F.lit(0).alias("min_zoom"),
+        F.lit(0).alias("z_order"),
+        F.expr("map()").cast("map<string,string>").alias("attrs"),
+        F.array(ring).alias("geom"))
+
+
+def _q_area_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 AreaIntersecting: probe rects x checkerboard squares ->
+    intersection area (latp deg^2; closed-form SQL oracle)."""
+    from tilemaker_spark.fixtures import make_layer_polygons
+    from tilemaker_spark.operators.spatial_join import area_intersecting_polygons
+    polys = make_layer_polygons(spark).filter(F.col("layer") == "countries")
+    out = area_intersecting_polygons(_rect_features(spark), polys)
+    return out.select(F.col("feature_id").alias("rect_id"), "name",
+                      F.round("inter_area", 8).alias("inter_area"))
+
+
+def _q_covered_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 CoveredBy: probe rects fully inside a checkerboard square."""
+    from tilemaker_spark.fixtures import make_layer_polygons
+    from tilemaker_spark.operators.spatial_join import geoms_intersecting_polygons
+    polys = make_layer_polygons(spark).filter(F.col("layer") == "countries")
+    out = geoms_intersecting_polygons(_rect_features(spark), polys,
+                                      zoom=12, predicate="covered_by")
+    return out.select(F.col("feature_id").alias("rect_id"), "name") \
+        .orderBy("rect_id", "name")
+
+
 def _q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/A9 + G13/G14: centroid, spherical area, haversine perimeter of
     the checkerboard squares (closed-form SQL oracle)."""
@@ -342,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "embedding_topk": _q_embed_topk,
         "embedding_ivf_topk": _q_embed_ivf,
+        "area_join": _q_area_join,
+        "covered_by_join": _q_covered_by,
         "geom_measures": _q_geom_measures,
         "relations_multipolygon": _q_relations,
         "winnow_fingerprints": _q_winnow,
@@ -620,6 +689,35 @@ ranked AS (SELECT probe_id, vec_id, cos_sim,
            FROM scored)
 SELECT probe_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOPK}"""
+
+    latp_of = "degrees(ln(tan(radians({v} + 90.0) / 2.0)))"
+    q["area_join"] = f"""
+WITH {_rect_sql()},
+squares AS (
+  SELECT 'C' || CAST(i AS VARCHAR) || CAST(j AS VARCHAR) AS name,
+         -5.0 + i AS sx0, 38.0 + j AS sy0, -4.0 + i AS sx1, 39.0 + j AS sy1
+  FROM range(10) s(i), range(10) t(j)),
+pairs AS (
+  SELECT rect_id, name,
+         greatest(0.0, least(rx1, sx1) - greatest(rx0, sx0)) AS ox,
+         greatest(0.0,
+                  {latp_of.format(v='least(ry1, sy1)')}
+                  - {latp_of.format(v='greatest(ry0, sy0)')}) AS oy
+  FROM rects, squares
+  WHERE rx0 <= sx1 AND rx1 >= sx0 AND ry0 <= sy1 AND ry1 >= sy0)
+SELECT rect_id, name, round(ox * oy, 8) AS inter_area
+FROM pairs WHERE ox * oy > 0"""
+
+    q["covered_by_join"] = f"""
+WITH {_rect_sql()},
+squares AS (
+  SELECT 'C' || CAST(i AS VARCHAR) || CAST(j AS VARCHAR) AS name,
+         -5.0 + i AS sx0, 38.0 + j AS sy0, -4.0 + i AS sx1, 39.0 + j AS sy1
+  FROM range(10) s(i), range(10) t(j))
+SELECT rect_id, name
+FROM rects, squares
+WHERE rx0 >= sx0 AND rx1 <= sx1 AND ry0 >= sy0 AND ry1 <= sy1
+ORDER BY rect_id, name"""
 
     q["geom_measures"] = """
 WITH squares AS (

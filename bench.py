@@ -92,8 +92,10 @@ def main() -> None:
         # input; efficiency computed on the tile-producing stage's wall
         # time (the compute stage — the fixed driver/stage-setup overhead
         # of a 100k-page sandbox run is not what scales with executors).
+        lo, hi = (int(v) for v in os.environ.get(
+            "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
         results = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_BENCH_PAGES=str(4 * n_pages))
             out = subprocess.run(
@@ -102,11 +104,14 @@ def main() -> None:
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        eff = (results[32]["e2e"]["tile_stage_tiles_per_sec"]
-               / results[8]["e2e"]["tile_stage_tiles_per_sec"]) / 4.0
-        eff_total = (results[32]["e2e"]["tiles_per_sec"]
-                     / results[8]["e2e"]["tiles_per_sec"]) / 4.0
-        report = {"local8": results[8]["e2e"], "local32": results[32]["e2e"],
+        factor = hi / lo
+        eff = (results[hi]["e2e"]["tile_stage_tiles_per_sec"]
+               / results[lo]["e2e"]["tile_stage_tiles_per_sec"]) / factor
+        eff_total = (results[hi]["e2e"]["tiles_per_sec"]
+                     / results[lo]["e2e"]["tiles_per_sec"]) / factor
+        report = {f"local{lo}": results[lo]["e2e"],
+                  f"local{hi}": results[hi]["e2e"],
+                  "levels": [lo, hi],
                   "scaling_efficiency": round(eff, 3),
                   "scaling_efficiency_total_wall": round(eff_total, 3),
                   "sf": sf}

@@ -305,6 +305,69 @@ def clip_ring_to_box(ring: np.ndarray, box) -> np.ndarray:
     return pts
 
 
+def clip_ring_to_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clip of a ring to an arbitrary CONVEX clip ring
+    (generalizes clip_ring_to_box; the AreaIntersecting join uses it for
+    convex build polygons). clip_ring must be positively wound (CCW in
+    math coords); output is open-representation, possibly empty."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) == 0:
+        return pts.reshape(0, 2)
+    if len(pts) > 1 and pts[0][0] == pts[-1][0] and pts[0][1] == pts[-1][1]:
+        pts = pts[:-1]
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if len(clip) > 1 and (clip[0] == clip[-1]).all():
+        clip = clip[:-1]
+    if ring_area(clip) < 0:
+        clip = clip[::-1]
+
+    for i in range(len(clip)):
+        if len(pts) == 0:
+            break
+        a = clip[i]
+        b = clip[(i + 1) % len(clip)]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+
+        def inside(p):
+            return ex * (p[1] - a[1]) - ey * (p[0] - a[0]) >= 0
+
+        def intersect(p, q):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            denom = ex * dy - ey * dx
+            if denom == 0:
+                return (q[0], q[1])
+            t = (ex * (a[1] - p[1]) - ey * (a[0] - p[0])) / denom
+            return (p[0] + t * dx, p[1] + t * dy)
+
+        out = []
+        prev = pts[-1]
+        prev_in = inside(prev)
+        for cur in pts:
+            cur_in = inside(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect(prev, cur))
+                out.append(tuple(cur))
+            elif prev_in:
+                out.append(intersect(prev, cur))
+            prev, prev_in = cur, cur_in
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    return pts
+
+
+def intersection_area_with_convex(parts: list, clip_ring: np.ndarray) -> float:
+    """|geometry ∩ convex polygon| — AreaIntersecting analog
+    (src/osm_lua_processing.cpp:435-453) for convex build polygons."""
+    total = 0.0
+    for outer, inners in iter_polygons(parts):
+        c = clip_ring_to_convex(outer, clip_ring)
+        total += abs(ring_area(c))
+        for inner in inners:
+            ci = clip_ring_to_convex(inner, clip_ring)
+            total -= abs(ring_area(ci))
+    return max(total, 0.0)
+
+
 def clip_polygon_to_box(parts: list, box) -> list:
     """Clip a flattened polygon ring list to a box; drops collapsed rings.
 

@@ -183,6 +183,52 @@ def geoms_intersecting_polygons(features: DataFrame, polygons: DataFrame,
             .drop("rings", "cell_x", "cell_y"))
 
 
+def area_intersecting_polygons(features: DataFrame, polygons: DataFrame,
+                               zoom: int = SPATIAL_INDEX_ZOOM) -> DataFrame:
+    """J5 AreaIntersecting: per (feature, polygon) pair, the area of the
+    geometric intersection, plus the per-feature total over all matching
+    polygons (reference src/osm_lua_processing.cpp:409-413, 435-453).
+
+    Build polygons must be convex (Sutherland-Hodgman clip); the fixture
+    checkerboard and typical admin boxes qualify. Prefilter: bbox
+    broadcast join (same plan as points_in_polygons). Returns
+    (feature_id, name, inter_area) in (lon, latp) deg^2.
+    """
+    # polygon bboxes are in (lon, lat); features carry (lon, latp) — put
+    # both sides of the range predicate in latp
+    polyb = F.broadcast(
+        with_bbox(polygons, "rings")
+        .withColumn("by0p", lat2latp_col(F.col("by0")))
+        .withColumn("by1p", lat2latp_col(F.col("by1")))
+        .select("name", "rings", "bx0", "by0p", "bx1", "by1p"))
+
+    fb = with_bbox(features, "geom").withColumnsRenamed(
+        {"bx0": "fx0", "by0": "fy0", "bx1": "fx1", "by1": "fy1"})
+    cond = ((F.col("fx0") <= F.col("bx1")) & (F.col("fx1") >= F.col("bx0"))
+            & (F.col("fy0") <= F.col("by1p")) & (F.col("fy1") >= F.col("by0p")))
+    cand = fb.join(polyb, cond, "inner")
+
+    @pandas_udf("double")
+    def inter_area(geom: pd.Series, rings: pd.Series) -> pd.Series:
+        out = np.zeros(len(geom))
+        for i, (parts, prings) in enumerate(zip(geom, rings)):
+            parts_np = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                        for p in parts]
+            # polygon rings arrive in (lon, lat); features in (lon, latp)
+            clip_np = []
+            for p in prings:
+                a = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                clip_np.append(np.column_stack([a[:, 0],
+                                                lat2latp_np(a[:, 1])]))
+            out[i] = G.intersection_area_with_convex(parts_np, clip_np[0])
+        return pd.Series(out)
+
+    return (cand
+            .withColumn("inter_area", inter_area(F.col("geom"), F.col("rings")))
+            .filter(F.col("inter_area") > 0)
+            .select("feature_id", "name", "inter_area"))
+
+
 # ----------------------------------------------------------- kNN (J10)
 
 def knn_points(probes: DataFrame, targets: DataFrame, k: int,

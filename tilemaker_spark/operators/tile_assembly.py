@@ -121,12 +121,27 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
         lb = mvt.LayerBuilder(target, extent=config.extent,
                               version=config.mvt_version)
         combine_pts: dict = {}
+        # A4/A5 combine gates (reference src/tile_worker.cpp:322-361):
+        # below combine_below, compatible (attrs, z_order) lines are
+        # endpoint-chained; below combine_polygons_below, compatible
+        # polygons merge into one multipolygon feature (nonzero-fill
+        # rendering makes this visually identical to the geometric union
+        # for same-winding outers)
+        combine_lines_on = 0 < z < config.combine_below
+        combine_polys_on = 0 < z < lc.combine_polygons_below
+        combine_ln: dict = {}
+        combine_pg: dict = {}
+        has_attr_mz = "attr_minzoom" in sub.columns
 
         for row in sub.itertuples(index=False):
             gt = int(row.geom_type)
             parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
                      for p in row.geom]
             attrs = sorted((row.attrs or {}).items())
+            if has_attr_mz and row.attr_minzoom:
+                # F5 — attribute minzoom projection (src/output_object.cpp:42)
+                amz = row.attr_minzoom
+                attrs = [(k, v) for k, v in attrs if amz.get(k, 0) <= z]
             fid = int(row.feature_id) if config.include_ids else None
 
             if gt == G.GEOM_POINT:
@@ -151,14 +166,24 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
                 n_features += 1
 
             elif gt == G.GEOM_LINE:
-                out_lines = []
+                clipped_runs = []
                 for part in parts:
-                    for run in G.clip_line_to_box(part, extend_box):
-                        s = _simplify_part(run, tol, lc.simplify_algorithm, False)
-                        qx, qy = bbox.scale_xy(s[:, 0], s[:, 1])
-                        q = _quantize_dedup(qx, qy, is_ring=False)
-                        if q:
-                            out_lines.append(q)
+                    clipped_runs.extend(G.clip_line_to_box(part, extend_box))
+                if not clipped_runs:
+                    continue
+                if combine_lines_on:
+                    # A4 — collect compatible clipped segments; chained,
+                    # simplified, and emitted as one feature below
+                    key = (int(row.z_order), tuple(attrs))
+                    combine_ln.setdefault(key, []).extend(clipped_runs)
+                    continue
+                out_lines = []
+                for run in clipped_runs:
+                    s = _simplify_part(run, tol, lc.simplify_algorithm, False)
+                    qx, qy = bbox.scale_xy(s[:, 0], s[:, 1])
+                    q = _quantize_dedup(qx, qy, is_ring=False)
+                    if q:
+                        out_lines.append(q)
                 if not out_lines:
                     continue
                 lb.add_feature(mvt.GEOM_LINESTRING,
@@ -183,6 +208,11 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
                         out_rings.append(q)
                 if not out_rings:
                     continue
+                if combine_polys_on:
+                    # A5 — combine compatible polygons (multipolygon merge)
+                    key = (int(row.z_order), tuple(attrs))
+                    combine_pg.setdefault(key, []).extend(out_rings)
+                    continue
                 lb.add_feature(mvt.GEOM_POLYGON,
                                mvt.encode_polygon_geometry(out_rings),
                                attrs=attrs, feature_id=fid)
@@ -191,6 +221,30 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
         for (zo, attrs_t), pts in combine_pts.items():
             uniq = list(dict.fromkeys(pts))
             lb.add_feature(mvt.GEOM_POINT, mvt.encode_point_geometry(uniq),
+                           attrs=list(attrs_t), feature_id=None)
+            n_features += 1
+
+        for (zo, attrs_t), runs in combine_ln.items():
+            # A4 — endpoint chaining (ReorderMultiLinestring,
+            # src/tile_worker.cpp:27-75), then simplify/quantize once
+            merged = G.merge_lines(runs)
+            out_lines = []
+            for run in merged:
+                s = _simplify_part(np.asarray(run), tol,
+                                   lc.simplify_algorithm, False)
+                qx, qy = bbox.scale_xy(s[:, 0], s[:, 1])
+                q = _quantize_dedup(qx, qy, is_ring=False)
+                if q:
+                    out_lines.append(q)
+            if out_lines:
+                lb.add_feature(mvt.GEOM_LINESTRING,
+                               mvt.encode_line_geometry(out_lines),
+                               attrs=list(attrs_t), feature_id=None)
+                n_features += 1
+
+        for (zo, attrs_t), rings in combine_pg.items():
+            lb.add_feature(mvt.GEOM_POLYGON,
+                           mvt.encode_polygon_geometry(rings),
                            attrs=list(attrs_t), feature_id=None)
             n_features += 1
 
@@ -299,6 +353,8 @@ def assemble_tiles(feature_tiles, config: EngineConfig,
     """
     cols = ["z", "x", "y", "feature_id", "layer", "geom_type", "z_order",
             "attrs", "geom"]
+    if "attr_minzoom" in feature_tiles.columns:
+        cols.append("attr_minzoom")
     df = feature_tiles.select(*cols)
     df = df.repartition(num_partitions or _default_partitions(df),
                         "z", "x", "y")
@@ -347,6 +403,8 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
 
     cols = ["z", "x", "y", "salt", "feature_id", "layer", "geom_type",
             "z_order", "attrs", "geom"]
+    if "attr_minzoom" in salted.columns:
+        cols.append("attr_minzoom")
     df = salted.select(*cols)
     df = df.repartition(num_partitions or _default_partitions(df),
                         "z", "x", "y", "salt")
@@ -355,6 +413,11 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
                    make_stream_assembler(config,
                                          key_cols=("z", "x", "y", "salt")),
                    schema=TILE_SCHEMA))
+
+    # persist: the cold and hot branches below both read `partial`; without
+    # materialization Spark would re-run the whole encode once per branch
+    from pyspark import StorageLevel
+    partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
 
     cold = partial.join(F.broadcast(hot_keys), ["z", "x", "y"], "left_anti")
     hot_partial = partial.join(F.broadcast(hot_keys), ["z", "x", "y"],

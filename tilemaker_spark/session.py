@@ -14,6 +14,9 @@ def _ship_package(spark: SparkSession) -> None:
     analog) so pandas-UDF workers can import it regardless of cwd."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip (spark-submit --py-files): already shipped
+        return
     zip_base = os.path.join(tempfile.gettempdir(),
                             f"tilemaker_spark_pyfiles_{os.getpid()}")
     zip_path = shutil.make_archive(zip_base, "zip", root_dir=root,

@@ -1,0 +1,63 @@
+"""Physical-plan audit: prints `.explain("formatted")` for the headline
+queries and greps for the plan properties that matter at 100 TB:
+
+  * PushedFilters / ReadSchema on parquet scans (predicate pushdown +
+    column pruning reached the scan)
+  * WholeStageCodegen spans (expressions stayed JVM-side)
+  * broadcast joins where a small dim is joined (no shuffle of the big
+    probe side)
+  * no CartesianProduct except the intentional broadcast NLJ prefilters
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+AUDIT = [
+    "tile_assign_points", "zoom_rollup", "spatial_join_pip", "knn_hot",
+    "way_join_agg", "topk_per_group", "semi_join_reduction", "agg_pushdown",
+    "dedup_minhash_lsh", "embedding_topk", "embedding_ivf_topk",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or AUDIT
+
+    import __spark_entry__ as entrymod
+    from tilemaker_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    print("# Physical plan audit\n")
+    print(f"sf dir: {sf_dir}; spark {spark.version}\n")
+    for name in only:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        checks = {
+            "whole_stage_codegen": bool(re.search(r"WholeStageCodegen", plan)),
+            "pushed_filters": bool(re.search(r"PushedFilters: \[(?!\])", plan)),
+            "broadcast_join": bool(re.search(r"Broadcast(Hash|NestedLoop)Join",
+                                             plan)),
+            "cartesian": bool(re.search(r"CartesianProduct", plan)),
+            "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        }
+        print(f"## {name}\n")
+        print(f"checks: {checks}\n")
+        print("```\n" + plan.strip()[:4000] + "\n```\n")
+
+
+if __name__ == "__main__":
+    main()
