@@ -1,0 +1,45 @@
+"""Pipeline invariants: payload byte-identity and deterministic output."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.config import default_config
+from tilemaker_spark.fixtures import make_pages, pages_from_documents
+from tilemaker_spark.operators.profile import features_from_pages
+from tilemaker_spark.operators.tile_assembly import assemble_tiles
+from tilemaker_spark.operators.tiling import ancestor_rollup, cover_explode
+
+
+def test_text_byte_identity_per_url(spark):
+    """The per-row invariant (BASELINE.json input_hint): text passes
+    through the profile byte-identical per url."""
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    feats = features_from_pages(pages)  # keeps url, text passthrough
+    joined = pages.select("url", F.sha2("text", 256).alias("h_in")).join(
+        feats.select("url", F.sha2("text", 256).alias("h_out")), "url")
+    n_total = joined.count()
+    n_match = joined.filter(F.col("h_in") == F.col("h_out")).count()
+    assert n_total == pages.count()
+    assert n_match == n_total
+
+
+def _tile_hashes(spark, seed_pages):
+    cfg = default_config()
+    cfg.basezoom = 11  # pages min_zoom is 10 for the synthetic text length
+    feats = features_from_pages(seed_pages).drop("url", "text")
+    ft = ancestor_rollup(cover_explode(feats, 11), 0, 11)
+    ft = ft.filter(F.col("z") >= F.col("min_zoom"))
+    tiles = assemble_tiles(ft, cfg)
+    return sorted((r.z, r.x, r.y, hashlib.sha256(bytes(r.tile)).hexdigest())
+                  for r in tiles.collect())
+
+
+def test_tile_bytes_deterministic(spark):
+    """Same input -> byte-identical MVT tiles across independent runs
+    (gzip mtime pinned, float64 quantization, stable sort keys)."""
+    a = _tile_hashes(spark, make_pages(spark, 400))
+    b = _tile_hashes(spark, make_pages(spark, 400))
+    assert a == b
+    assert len(a) > 0

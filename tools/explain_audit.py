@@ -40,6 +40,13 @@ def main() -> None:
 
     print("# Physical plan audit\n")
     print(f"sf dir: {sf_dir}; spark {spark.version}\n")
+    print("Note: with AQE enabled, pre-execution formatted plans print "
+          "`AdaptiveSparkPlan` without `codegen id` annotations — "
+          "codegen_spans: 0 here does NOT mean codegen is off; the "
+          "executed plan compiles Filter/Project/HashAggregate spans "
+          "via whole-stage codegen as usual. The meaningful checks are "
+          "pushed_filters, pruned_scan (ReadSchema subset), "
+          "broadcast_join, and exchange counts.\n")
     for name in only:
         df = qs[name](spark, sf_dir)
         buf = io.StringIO()
@@ -47,8 +54,10 @@ def main() -> None:
             df.explain("formatted")
         plan = buf.getvalue()
         checks = {
-            "whole_stage_codegen": bool(re.search(r"WholeStageCodegen", plan)),
+            "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
             "pushed_filters": bool(re.search(r"PushedFilters: \[(?!\])", plan)),
+            "pruned_scan": bool(re.search(r"ReadSchema: struct<(?!.{600})",
+                                          plan)),
             "broadcast_join": bool(re.search(r"Broadcast(Hash|NestedLoop)Join",
                                              plan)),
             "cartesian": bool(re.search(r"CartesianProduct", plan)),
