@@ -125,8 +125,25 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
     cand = (a.join(b, ["band_id", "band_hash"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").dropDuplicates())
-    exact = _pair_jaccard(shingles(docs, n))
-    return (cand.join(exact, ["doc_a", "doc_b"])
+    # exact-jaccard verification restricted to candidate pairs: the
+    # shingle join is anchored on the candidate list (linear in
+    # |candidates| * shingles/doc), never the all-pairs O(sum cnt^2)
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shingle").alias("sh"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shingle").alias("sh"))
+    inter = (cand.join(sha, "doc_a")
+             .join(shb, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter") /
+                                (F.col("na") + F.col("nb") - F.col("inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
