@@ -370,6 +370,42 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fp")))
 
 
+def _q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J9 continuous: two-batch Structured Streaming incremental
+    tileset maintenance; returns the final snapshot's (z, x, y)
+    (rows-only check — binary merge output)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.fixtures import make_pages
+    from tilemaker_spark.streaming.incremental import (
+        read_current_tiles, start_incremental)
+
+    base = tempfile.mkdtemp(prefix="tms_inc_")
+    pages_dir = os.path.join(base, "in")
+    workdir = os.path.join(base, "state")
+    os.makedirs(pages_dir)
+    cfg = default_config()
+    cfg.basezoom = 10
+    cfg.compress = "none"
+    for lo, hi, name in [(0, 60, "b0"), (60, 120, "b1")]:
+        df = make_pages(spark, hi).filter(FF.col("doc_id") >= lo)
+        stage = os.path.join(pages_dir, f"_s_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(stage, src),
+                    os.path.join(pages_dir, f"{name}.parquet"))
+        shutil.rmtree(stage)
+        q = start_incremental(spark, pages_dir, workdir, cfg)
+        q.awaitTermination(180)
+    tiles = read_current_tiles(spark, workdir)
+    return tiles.select("z", "x", "y").orderBy("z", "x", "y")
+
+
 def _q_tiles_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end tiles (binary MVT; driver rows-only check)."""
     from tilemaker_spark.config import default_config
@@ -416,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "media_image_stats": _q_media_decode,
         "media_embed_knn": _q_media_embed_knn,
+        "incremental_merge": _q_incremental_merge,
         "tiles_e2e": _q_tiles_e2e,
     }
 

@@ -101,14 +101,28 @@ def ancestor_rollup(feature_tiles: DataFrame, minzoom: int, basezoom: int,
     (z, x >> (basezoom - z), y >> (basezoom - z)) for z in
     [minzoom, basezoom]; duplicates from sibling tiles collapsing to one
     parent are removed per feature. Mirrors src/tilemaker.cpp:384-409.
+
+    Shuffle economics: a POINT occupies exactly one basezoom tile, so
+    its ancestor chain can never produce duplicates — points skip the
+    dropDuplicates shuffle entirely (at planet scale points dominate row
+    count, so this removes the stage's only wide shuffle for the common
+    case). Multi-tile geometries (lines/polygons) keep the dedup.
     """
     zs = F.explode(F.sequence(F.lit(minzoom), F.lit(basezoom))).alias("zz")
-    shifted = feature_tiles.select("*", zs)
-    out = (shifted
-           .withColumn("x", F.expr(f"shiftright(x, {basezoom} - zz)"))
-           .withColumn("y", F.expr(f"shiftright(y, {basezoom} - zz)"))
-           .drop("z").withColumnRenamed("zz", "z"))
-    return out.dropDuplicates([*dedup_cols, "z", "x", "y"])
+
+    def roll(df: DataFrame) -> DataFrame:
+        shifted = df.select("*", zs)
+        return (shifted
+                .withColumn("x", F.expr(f"shiftright(x, {basezoom} - zz)"))
+                .withColumn("y", F.expr(f"shiftright(y, {basezoom} - zz)"))
+                .drop("z").withColumnRenamed("zz", "z"))
+
+    if "geom_type" not in feature_tiles.columns:
+        return roll(feature_tiles).dropDuplicates([*dedup_cols, "z", "x", "y"])
+    pts = roll(feature_tiles.filter(F.col("geom_type") == 1))
+    other = roll(feature_tiles.filter(F.col("geom_type") != 1)) \
+        .dropDuplicates([*dedup_cols, "z", "x", "y"])
+    return pts.unionByName(other)
 
 
 def zoom_gates(feature_tiles: DataFrame, layer_zooms: dict) -> DataFrame:
