@@ -51,23 +51,30 @@ def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full pages -> features -> feature_tiles -> MVT tiles run
-    on sf0.001 (no checkpointing; driver checks rows >= 0)."""
+    """Flagship north-star run on sf0.001: pages geo-derived, enriched
+    by point-in-polygon against the layer polygons, unioned with
+    OSM-style way/relation features, assembled to MVT tiles (in-memory,
+    no checkpoint workdir; driver checks rows >= 0)."""
+    import tempfile
+
     from tilemaker_spark.config import default_config
-    from tilemaker_spark.fixtures import pages_from_documents
-    from tilemaker_spark.operators.profile import features_from_pages
-    from tilemaker_spark.operators.tile_assembly import assemble_tiles
-    from tilemaker_spark.operators.tiling import ancestor_rollup, cover_explode
+    from tilemaker_spark.fixtures import (
+        make_layer_polygons, make_nodes_ways, make_relations,
+        pages_from_documents)
+    from tilemaker_spark.plans.pipeline import TilePipeline
 
     cfg = default_config()
     cfg.basezoom = 10
-    cfg.compress = "none"
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
-    feats = features_from_pages(pages).drop("url", "text")
-    ft = cover_explode(feats, cfg.basezoom)
-    ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
-    ft = ft.filter(F.col("z") >= F.col("min_zoom"))
-    return assemble_tiles(ft, cfg)
+    nodes, ways = make_nodes_ways(spark)
+    relations, rel_ways, rel_nodes = make_relations(spark)
+    polys = make_layer_polygons(spark).filter(F.col("layer") == "countries")
+    pipe = TilePipeline(spark, cfg,
+                        workdir=tempfile.mkdtemp(prefix="tms_entry_"))
+    tiles = pipe.run(pages, nodes=nodes.unionByName(rel_nodes),
+                     ways=ways.unionByName(rel_ways),
+                     relations=relations, layer_polygons=polys, force=True)
+    return tiles
 
 
 # -------------------------------------------------------------- queries

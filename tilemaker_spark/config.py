@@ -176,6 +176,9 @@ def default_config() -> EngineConfig:
         name="water", minzoom=0, maxzoom=14,
         simplify_below=12, simplify_level=0.0002,
         simplify_algorithm="visvalingam")
+    cfg.layers["landcover"] = LayerConfig(
+        name="landcover", minzoom=0, maxzoom=14,
+        simplify_below=10, simplify_level=0.0002)
     cfg.layers["countries"] = LayerConfig(
         name="countries", minzoom=0, maxzoom=14, source="layer_polygons",
         index=True, index_column="name")

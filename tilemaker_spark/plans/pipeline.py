@@ -91,14 +91,50 @@ class TilePipeline:
         return self.spark.read.parquet(path)
 
     def run(self, pages: DataFrame, nodes: DataFrame | None = None,
-            ways: DataFrame | None = None, force: bool = False) -> DataFrame:
+            ways: DataFrame | None = None,
+            relations: DataFrame | None = None,
+            layer_polygons: DataFrame | None = None,
+            force: bool = False) -> DataFrame:
+        """pages [+ ways [+ relations]] [⋈ layer_polygons] -> tiles.
+
+        layer_polygons (the indexed external layer, J3) enriches every
+        page point with the containing polygon's name as an attribute —
+        the north-star 'joined point-in-polygon against OSM-style layer
+        polygons' step. Broadcast join: zero shuffle on the pages side.
+        """
         cfg = self.config
         t_start = time.time()
 
-        # Stage 1 — features (profile over pages [+ ways])
-        feats = features_from_pages(pages).drop("url", "text")
+        # Stage 1 — features (profile over pages [+ ways [+ relations]])
+        if layer_polygons is not None:
+            from tilemaker_spark.operators.geocode import geocode_pages
+            from tilemaker_spark.operators.spatial_join import points_in_polygons
+            geo = geocode_pages(pages)
+            hits = points_in_polygons(geo, layer_polygons,
+                                      point_id="doc_id") \
+                .select(F.col("doc_id").alias("feature_id"),
+                        F.col("name").alias("_country"))
+            feats = features_from_pages(geo, geocode=False)
+            # a point matches at most one disjoint polygon; left join
+            # keeps pages outside every polygon (attr absent)
+            feats = feats.join(hits, "feature_id", "left")
+            feats = feats.withColumn(
+                "attrs",
+                F.when(F.col("_country").isNotNull(),
+                       F.map_concat("attrs",
+                                    F.create_map(F.lit("country"),
+                                                 F.col("_country"))))
+                .otherwise(F.col("attrs"))).drop("_country")
+            feats = feats.drop("url", "text")
+        else:
+            feats = features_from_pages(pages).drop("url", "text")
         if nodes is not None and ways is not None:
             feats = feats.unionByName(features_from_ways(nodes, ways))
+            if relations is not None:
+                from tilemaker_spark.operators.relations import (
+                    features_from_relations)
+                feats = feats.unionByName(
+                    features_from_relations(relations, ways, nodes))
         feats = self._checkpoint(feats, "features", force=force)
 
         # Stage 2 — feature_tiles at basezoom + rollup + gates
