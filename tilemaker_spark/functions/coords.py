@@ -141,6 +141,19 @@ def meter2degp_col(meter: Column, latp: Column) -> Column:
     return F.degrees((meter / F.lit(RADIUS_METER)) / F.cos(F.radians(latp2lat_col(latp))))
 
 
+def zorder_key_col(x: Column, y: Column, bits: int = 16) -> Column:
+    """O3 — Morton/Z-order key by bit interleaving (x even bits, y odd),
+    the column analog of the reference's hierarchical-Z index sort
+    (include/tile_data.h:109-136). Pure integer Column math (codegen);
+    use with repartitionByRange + sortWithinPartitions for locality-
+    clustered writes."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.shiftleft(F.shiftright(x, i) % 2, 2 * i) \
+            + F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1)
+    return acc
+
+
 # --------------------------------------------------------------- TileBbox
 
 class TileBbox:

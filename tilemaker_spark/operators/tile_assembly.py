@@ -132,12 +132,22 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
         combine_ln: dict = {}
         combine_pg: dict = {}
         has_attr_mz = "attr_minzoom" in sub.columns
+        has_num = "attrs_num" in sub.columns
+        has_bool = "attrs_bool" in sub.columns
 
         for row in sub.itertuples(index=False):
             gt = int(row.geom_type)
             parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
                      for p in row.geom]
-            attrs = sorted((row.attrs or {}).items())
+            # typed attributes (F2: Attribute / AttributeNumeric /
+            # AttributeBoolean) — values keep their python types so the
+            # MVT value encoder emits float/bool/sint variants
+            items = list((row.attrs or {}).items())
+            if has_num and row.attrs_num:
+                items += [(k, float(v)) for k, v in row.attrs_num.items()]
+            if has_bool and row.attrs_bool:
+                items += [(k, bool(v)) for k, v in row.attrs_bool.items()]
+            attrs = sorted(items, key=lambda kv: kv[0])
             if has_attr_mz and row.attr_minzoom:
                 # F5 — attribute minzoom projection (src/output_object.cpp:42)
                 amz = row.attr_minzoom
@@ -353,8 +363,8 @@ def assemble_tiles(feature_tiles, config: EngineConfig,
     """
     cols = ["z", "x", "y", "feature_id", "layer", "geom_type", "z_order",
             "attrs", "geom"]
-    if "attr_minzoom" in feature_tiles.columns:
-        cols.append("attr_minzoom")
+    cols += [c for c in ("attr_minzoom", "attrs_num", "attrs_bool")
+             if c in feature_tiles.columns]
     df = feature_tiles.select(*cols)
     df = df.repartition(num_partitions or _default_partitions(df),
                         "z", "x", "y")
@@ -403,8 +413,8 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
 
     cols = ["z", "x", "y", "salt", "feature_id", "layer", "geom_type",
             "z_order", "attrs", "geom"]
-    if "attr_minzoom" in salted.columns:
-        cols.append("attr_minzoom")
+    cols += [c for c in ("attr_minzoom", "attrs_num", "attrs_bool")
+             if c in salted.columns]
     df = salted.select(*cols)
     df = df.repartition(num_partitions or _default_partitions(df),
                         "z", "x", "y", "salt")
