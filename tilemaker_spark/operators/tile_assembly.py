@@ -88,32 +88,52 @@ def _batch_prepare(pdf: pd.DataFrame, config: EngineConfig) -> pd.DataFrame:
     return pdf.drop(columns="_zo")
 
 
-def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
-                       config: EngineConfig, prepared: bool = False) -> tuple:
-    """rows must already be draw-order sorted / deduped / limited when
-    ``prepared`` (the mapInPandas path does it batch-wide)."""
+_OPT_COLS = ("attr_minzoom", "attrs_num", "attrs_bool")
+
+
+def _extract_cols(pdf: pd.DataFrame) -> dict:
+    """Pull columns out of pandas ONCE per batch — per-tile work then
+    indexes plain numpy arrays / python lists (itertuples + per-tile
+    groupby were ~70% of assembly time)."""
+    cols = {
+        "z": pdf["z"].to_numpy(dtype=np.int64),
+        "x": pdf["x"].to_numpy(dtype=np.int64),
+        "y": pdf["y"].to_numpy(dtype=np.int64),
+        "geom_type": pdf["geom_type"].to_numpy(dtype=np.int64),
+        "z_order": pdf["z_order"].to_numpy(dtype=np.int64),
+        "feature_id": pdf["feature_id"].to_numpy(dtype=np.int64),
+        "layer": pdf["layer"].to_list(),
+        "attrs": pdf["attrs"].to_list(),
+        "geom": pdf["geom"].to_list(),
+    }
+    for c in _OPT_COLS:
+        cols[c] = pdf[c].to_list() if c in pdf.columns else None
+    return cols
+
+
+def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
+                       config: EngineConfig) -> tuple:
+    """Rows (given as indices into the batch's column arrays) must
+    already be draw-order sorted / deduped / limited (_batch_prepare)."""
     bbox = TileBbox(z, x, y, hires=config.high_resolution)
     clip_box = bbox.clipping_box
     extend_box = bbox.extend_box()
     layers_out = []
     n_features = 0
 
-    by_layer = {k: v for k, v in rows.groupby("layer", sort=False)}
+    layer_list = cols["layer"]
+    by_layer: dict = {}
+    for i in idxs:
+        by_layer.setdefault(layer_list[i], []).append(i)
     for target, members in config.layer_order():
-        subs = [by_layer[m] for m in members if m in by_layer]
-        if not subs:
+        rows_idx: list = []
+        for m in members:
+            rows_idx.extend(by_layer.get(m, ()))
+        if not rows_idx:
             continue
-        sub = subs[0] if len(subs) == 1 else pd.concat(subs)
         lc = config.layers[members[0]]
         if not (lc.minzoom <= z <= lc.maxzoom):
             continue
-        if not prepared:
-            sub = sub.sort_values(
-                ["z_order", "feature_id"],
-                ascending=[lc.z_order_ascending, True])
-            sub = sub.drop_duplicates(["feature_id", "geom_type", "z_order"])
-            if lc.feature_limit > 0 and z < lc.feature_limit_below:
-                sub = sub.head(lc.feature_limit)
 
         tol = lc.simplify_tolerance_at(z)
         min_area = lc.filter_area_at(z)
@@ -131,28 +151,34 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
         combine_polys_on = 0 < z < lc.combine_polygons_below
         combine_ln: dict = {}
         combine_pg: dict = {}
-        has_attr_mz = "attr_minzoom" in sub.columns
-        has_num = "attrs_num" in sub.columns
-        has_bool = "attrs_bool" in sub.columns
+        amz_l = cols["attr_minzoom"]
+        num_l = cols["attrs_num"]
+        bool_l = cols["attrs_bool"]
+        gt_a = cols["geom_type"]
+        zo_a = cols["z_order"]
+        fid_a = cols["feature_id"]
+        geom_l = cols["geom"]
+        attrs_l = cols["attrs"]
 
-        for row in sub.itertuples(index=False):
-            gt = int(row.geom_type)
+        for i in rows_idx:
+            gt = int(gt_a[i])
+            zo = int(zo_a[i])
             parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
-                     for p in row.geom]
+                     for p in geom_l[i]]
             # typed attributes (F2: Attribute / AttributeNumeric /
             # AttributeBoolean) — values keep their python types so the
             # MVT value encoder emits float/bool/sint variants
-            items = list((row.attrs or {}).items())
-            if has_num and row.attrs_num:
-                items += [(k, float(v)) for k, v in row.attrs_num.items()]
-            if has_bool and row.attrs_bool:
-                items += [(k, bool(v)) for k, v in row.attrs_bool.items()]
+            items = list((attrs_l[i] or {}).items())
+            if num_l is not None and num_l[i]:
+                items += [(k, float(v)) for k, v in num_l[i].items()]
+            if bool_l is not None and bool_l[i]:
+                items += [(k, bool(v)) for k, v in bool_l[i].items()]
             attrs = sorted(items, key=lambda kv: kv[0])
-            if has_attr_mz and row.attr_minzoom:
+            if amz_l is not None and amz_l[i]:
                 # F5 — attribute minzoom projection (src/output_object.cpp:42)
-                amz = row.attr_minzoom
+                amz = amz_l[i]
                 attrs = [(k, v) for k, v in attrs if amz.get(k, 0) <= z]
-            fid = int(row.feature_id) if config.include_ids else None
+            fid = int(fid_a[i]) if config.include_ids else None
 
             if gt == G.GEOM_POINT:
                 pxs, pys = [], []
@@ -168,7 +194,7 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
                 pts = list(dict.fromkeys(zip(pxs, pys)))
                 if lc.combine_points:
                     # A3 — combine compatible points into one multipoint
-                    key = (int(row.z_order), tuple(attrs))
+                    key = (zo, tuple(attrs))
                     combine_pts.setdefault(key, []).extend(pts)
                     continue
                 lb.add_feature(mvt.GEOM_POINT, mvt.encode_point_geometry(pts),
@@ -184,7 +210,7 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
                 if combine_lines_on:
                     # A4 — collect compatible clipped segments; chained,
                     # simplified, and emitted as one feature below
-                    key = (int(row.z_order), tuple(attrs))
+                    key = (zo, tuple(attrs))
                     combine_ln.setdefault(key, []).extend(clipped_runs)
                     continue
                 out_lines = []
@@ -220,7 +246,7 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
                     continue
                 if combine_polys_on:
                     # A5 — combine compatible polygons (multipolygon merge)
-                    key = (int(row.z_order), tuple(attrs))
+                    key = (zo, tuple(attrs))
                     combine_pg.setdefault(key, []).extend(out_rings)
                     continue
                 lb.add_feature(mvt.GEOM_POLYGON,
@@ -267,25 +293,6 @@ def _assemble_one_tile(z: int, x: int, y: int, rows: pd.DataFrame,
     return tile_bytes, n_features
 
 
-def make_assembler(config: EngineConfig):
-    """Returns the applyInPandas function for groupBy(z, x, y)."""
-
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, x, y = int(key[0]), int(key[1]), int(key[2])
-        tile, n = _assemble_one_tile(z, x, y, pdf, config)
-        if n == 0:
-            return pd.DataFrame(columns=["z", "x", "y", "tile", "n_features",
-                                         "n_bytes"]).astype(
-                {"z": "int32", "x": "int64", "y": "int64",
-                 "n_features": "int32", "n_bytes": "int32"})
-        return pd.DataFrame({"z": [np.int32(z)], "x": [np.int64(x)],
-                             "y": [np.int64(y)], "tile": [tile],
-                             "n_features": [np.int32(n)],
-                             "n_bytes": [np.int32(len(tile))]})
-
-    return assemble
-
-
 def make_stream_assembler(config: EngineConfig, key_cols=("z", "x", "y")):
     """mapInPandas variant: one Python call per Arrow batch, not per tile.
 
@@ -326,15 +333,24 @@ def make_stream_assembler(config: EngineConfig, key_cols=("z", "x", "y")):
 
 def _assemble_batch(pdf: pd.DataFrame, config: EngineConfig):
     pdf = _batch_prepare(pdf, config)
+    if not len(pdf):
+        return None
+    cols = _extract_cols(pdf)
+    za, xa, ya = cols["z"], cols["x"], cols["y"]
+    # group boundaries on the (z, x, y)-sorted batch — no pandas groupby
+    change = np.nonzero((np.diff(za) != 0) | (np.diff(xa) != 0)
+                        | (np.diff(ya) != 0))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(za)]])
     zs, xs, ys, tiles, nfs, nbs = [], [], [], [], [], []
-    for (z, x, y), g in pdf.groupby(["z", "x", "y"], sort=False):
-        tile, n = _assemble_one_tile(int(z), int(x), int(y), g, config,
-                                     prepared=True)
+    for s, e in zip(starts, ends):
+        tile, n = _assemble_one_tile(int(za[s]), int(xa[s]), int(ya[s]),
+                                     range(s, e), cols, config)
         if n == 0:
             continue
-        zs.append(np.int32(z))
-        xs.append(np.int64(x))
-        ys.append(np.int64(y))
+        zs.append(np.int32(za[s]))
+        xs.append(np.int64(xa[s]))
+        ys.append(np.int64(ya[s]))
         tiles.append(tile)
         nfs.append(np.int32(n))
         nbs.append(np.int32(len(tile)))
