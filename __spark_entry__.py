@@ -377,6 +377,33 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fp")))
 
 
+def _q_pbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: block-parallel .osm.pbf scan of the reference's monaco
+    fixture (real OSM data; rows-only — no SQL view of the binary)."""
+    import os
+    from tilemaker_spark import sources_pbf
+    path = "/root/reference/test/monaco.pbf"
+    if not os.path.exists(path):
+        return spark.createDataFrame([], "etype string, n long")
+    ents = sources_pbf.read_pbf(spark, path)
+    return (ents.groupBy("etype").agg(F.count("*").alias("n"),
+                                      F.min("id").alias("min_id"))
+            .orderBy("etype"))
+
+
+def _q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2/U3: multi-source union + dedup over two projections."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = o.select(F.col("o_custkey").alias("entity_id"),
+                 F.lit("orders").alias("src"))
+    b = e.select(F.col("user_id").alias("entity_id"),
+                 F.lit("events").alias("src"))
+    return (a.unionByName(b).dropDuplicates()
+            .groupBy("src").agg(F.count("*").alias("n_entities"),
+                                F.min("entity_id").alias("min_id")))
+
+
 def _q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/J9 continuous: two-batch Structured Streaming incremental
     tileset maintenance; returns the final snapshot's (z, x, y)
@@ -459,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "media_image_stats": _q_media_decode,
         "media_embed_knn": _q_media_embed_knn,
+        "pbf_scan": _q_pbf_scan,
+        "union_sources": _q_union_sources,
         "incremental_merge": _q_incremental_merge,
         "tiles_e2e": _q_tiles_e2e,
     }
@@ -779,7 +808,15 @@ SELECT name,
              3) AS perimeter_m
 FROM squares"""
 
-    # winnow_fingerprints, tiles_e2e, relations_multipolygon:
+    q["union_sources"] = """
+WITH u AS (
+  SELECT DISTINCT o_custkey AS entity_id, 'orders' AS src FROM orders
+  UNION
+  SELECT DISTINCT user_id AS entity_id, 'events' AS src FROM events)
+SELECT src, count(*) AS n_entities, min(entity_id) AS min_id
+FROM u GROUP BY src"""
+
+    # winnow_fingerprints, tiles_e2e, relations_multipolygon, pbf_scan:
     # non-SQL-expressible (pandas-UDF rolling hash / binary MVT assembly /
     # geometric ring stitch) -> rows-only check.
     return q
