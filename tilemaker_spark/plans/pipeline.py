@@ -70,6 +70,19 @@ class TilePipeline:
         os.makedirs(workdir, exist_ok=True)
         self.metrics: dict = {"stages": {}}
 
+    @staticmethod
+    def _parquet_rows(path: str) -> int | None:
+        try:
+            import pyarrow.parquet as pq
+            total = 0
+            for fn in os.listdir(path):
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(path, fn)).metadata.num_rows
+            return total
+        except Exception:
+            return None
+
     def _checkpoint(self, df: DataFrame, name: str, partition_cols=None,
                     force: bool = False) -> DataFrame:
         path = os.path.join(self.workdir, name)
@@ -160,7 +173,10 @@ class TilePipeline:
         tiles = self._checkpoint(tiles, "tiles", force=force)
 
         self.metrics["total_seconds"] = round(time.time() - t_start, 3)
-        n_tiles = tiles.count()
+        # tile count from parquet footers (no extra scan)
+        n_tiles = self._parquet_rows(os.path.join(self.workdir, "tiles"))
+        if n_tiles is None:
+            n_tiles = tiles.count()
         self.metrics["tiles"] = n_tiles
         self.metrics["tiles_per_sec"] = round(
             n_tiles / max(self.metrics["total_seconds"], 1e-9), 2)
