@@ -377,6 +377,20 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fp")))
 
 
+def _q_declarative_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface (§2.8): declarative rule profile compiled to Column
+    exprs over the ways fixture (rows-only; RNG fixture not in SQL)."""
+    from tilemaker_spark.fixtures import make_nodes_ways
+    from tilemaker_spark.operators.profile import assemble_way_geoms
+    from tilemaker_spark.operators.profile_compiler import (
+        EXAMPLE_PROFILE, compile_way_profile)
+    nodes, ways = make_nodes_ways(spark)
+    feats = compile_way_profile(EXAMPLE_PROFILE)(assemble_way_geoms(nodes, ways))
+    return (feats.groupBy("layer", "min_zoom")
+            .agg(F.count("*").alias("n"))
+            .orderBy("layer", "min_zoom"))
+
+
 def _q_pbf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2: block-parallel .osm.pbf scan of the reference's monaco
     fixture (real OSM data; rows-only — no SQL view of the binary)."""
@@ -486,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "media_image_stats": _q_media_decode,
         "media_embed_knn": _q_media_embed_knn,
+        "declarative_profile": _q_declarative_profile,
         "pbf_scan": _q_pbf_scan,
         "union_sources": _q_union_sources,
         "incremental_merge": _q_incremental_merge,

@@ -1,0 +1,87 @@
+"""Declarative profile compiler (the Lua-script analog)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.operators.profile import assemble_way_geoms
+from tilemaker_spark.operators.profile_compiler import (
+    EXAMPLE_PROFILE,
+    compile_node_profile,
+    compile_way_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_feats(spark):
+    from tilemaker_spark.fixtures import make_nodes_ways
+    nodes, ways = make_nodes_ways(spark)
+    assembled = assemble_way_geoms(nodes, ways)
+    return nodes, assembled
+
+
+def test_way_rules_match_and_emit(spark, fixture_feats):
+    nodes, assembled = fixture_feats
+    feats = compile_way_profile(EXAMPLE_PROFILE)(assembled)
+    by_layer = {r["layer"]: r["n"] for r in
+                feats.groupBy("layer").agg(F.count("*").alias("n")).collect()}
+    assert by_layer.get("roads", 0) > 5
+    assert by_layer.get("buildings", 0) > 5
+    assert by_layer.get("water", 0) > 0
+    r = feats.filter(F.col("layer") == "roads").first()
+    assert r.attrs["class"] in ("primary", "minor")
+    assert r.geom_type == 2
+    assert r.attr_minzoom == {"name": 12}
+
+
+def test_min_zoom_map(spark, fixture_feats):
+    _, assembled = fixture_feats
+    feats = compile_way_profile(EXAMPLE_PROFILE)(assembled)
+    zooms = {r.attrs["class"]: r.min_zoom
+             for r in feats.filter(F.col("layer") == "roads").collect()}
+    assert zooms.get("primary") == 7
+    assert zooms.get("minor") == 12  # default
+
+
+def test_node_rules(spark, fixture_feats):
+    nodes, _ = fixture_feats
+    feats = compile_node_profile(EXAMPLE_PROFILE)(nodes)
+    rows = feats.collect()
+    assert len(rows) > 10  # the fixture sprinkles amenity=cafe POIs
+    assert all(r.layer == "poi" and r.geom_type == 1 for r in rows)
+    assert all(r.attrs["kind"] == "cafe" for r in rows)
+
+
+def test_negation_and_list_match(spark):
+    rules = [
+        {"match": {"highway": "*", "access": "!private"}, "geometry": "line",
+         "emit": {"layer": "public_roads", "attrs": {}}},
+    ]
+    rows = [
+        (1, [1, 2], {"highway": "a"}),
+        (2, [1, 2], {"highway": "a", "access": "private"}),
+        (3, [1, 2], {"highway": "a", "access": "yes"}),
+    ]
+    assembled = spark.createDataFrame(
+        [(i, refs, tags, [0.0, 0.0, 1.0, 1.0]) for i, refs, tags in rows],
+        "id long, refs array<long>, tags map<string,string>, "
+        "coords array<double>")
+    feats = compile_way_profile(rules)(assembled)
+    assert {r.feature_id for r in feats.collect()} == {1, 3}
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/test/monaco.pbf"),
+                    reason="monaco fixture unavailable")
+def test_monaco_with_declarative_profile(spark):
+    """Real-data: monaco.pbf through the declarative profile -> layers
+    with per-class min zoom (the switch-from-reference user path)."""
+    from tilemaker_spark import sources_pbf
+    nodes, ways, _ = sources_pbf.read_pbf_tables(
+        spark, "/root/reference/test/monaco.pbf")
+    assembled = assemble_way_geoms(nodes, ways)
+    feats = compile_way_profile(EXAMPLE_PROFILE)(assembled)
+    layers = {r["layer"] for r in feats.select("layer").distinct().collect()}
+    assert {"roads", "buildings"} <= layers
+    pois = compile_node_profile(EXAMPLE_PROFILE)(nodes)
+    assert pois.count() > 10
