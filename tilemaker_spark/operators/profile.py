@@ -42,7 +42,7 @@ def tag_filter(tags_col, keys=None, reject=False):
     for k in keys:
         if "=" in k:
             kk, vv = k.split("=", 1)
-            conds.append(F.element_at(tags_col, kk) == vv)
+            conds.append(F.try_element_at(tags_col, F.lit(kk)) == vv)
         elif k.startswith("~"):
             conds.append(~F.map_contains_key(tags_col, k[1:]))
         else:
@@ -121,8 +121,8 @@ def features_from_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     tags = F.col("tags")
     is_closed = F.element_at("refs", 1) == F.element_at("refs", -1)
     is_road = F.map_contains_key(tags, "highway")
-    is_building = F.element_at(tags, "building").isNotNull()
-    is_water = F.element_at(tags, "natural") == "water"
+    is_building = F.try_element_at(tags, F.lit("building")).isNotNull()
+    is_water = F.try_element_at(tags, F.lit("natural")) == "water"
 
     # drop the duplicated closing point for polygon rings: the engine's
     # ring convention is open (first point not repeated)
@@ -132,12 +132,12 @@ def features_from_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
         F.col("id").alias("feature_id"),
         F.lit("roads").alias("layer"),
         F.lit(2).alias("geom_type"),
-        F.when(F.element_at(tags, "highway") == "primary", 4).otherwise(9)
+        F.when(F.try_element_at(tags, F.lit("highway")) == "primary", 4).otherwise(9)
          .cast("int").alias("min_zoom"),
         F.lit(0).alias("z_order"),
         F.map_from_arrays(F.array(F.lit("class"), F.lit("name")),
-                          F.array(F.element_at(tags, "highway"),
-                                  F.coalesce(F.element_at(tags, "name"), F.lit("")))
+                          F.array(F.try_element_at(tags, F.lit("highway")),
+                                  F.coalesce(F.try_element_at(tags, F.lit("name")), F.lit("")))
                           ).alias("attrs"),
         F.array(F.col("coords")).alias("geom"),
     )

@@ -46,7 +46,7 @@ def _match_predicate(match: dict, tags: Column) -> Column:
     """Compile a match spec into one boolean Column (AND of entries)."""
     cond = F.lit(True)
     for key, want in (match or {}).items():
-        val = F.element_at(tags, key)
+        val = F.try_element_at(tags, F.lit(key))
         if want == "*":
             c = val.isNotNull()
         elif isinstance(want, list):
@@ -62,7 +62,7 @@ def _match_predicate(match: dict, tags: Column) -> Column:
 def _emit_min_zoom(emit: dict, tags: Column) -> Column:
     if "min_zoom_map" in emit:
         spec = emit["min_zoom_map"]
-        val = F.element_at(tags, spec["tag"])
+        val = F.try_element_at(tags, F.lit(spec["tag"]))
         out = F.lit(int(spec.get("default", 0)))
         for k, z in spec.get("map", {}).items():
             out = F.when(val == k, F.lit(int(z))).otherwise(out)
@@ -75,7 +75,7 @@ def _emit_attrs(emit: dict, tags: Column) -> Column:
     for out_key, spec in emit.get("attrs", {}).items():
         keys.append(F.lit(out_key))
         if isinstance(spec, str) and spec.startswith("$"):
-            vals.append(F.coalesce(F.element_at(tags, spec[1:]), F.lit("")))
+            vals.append(F.coalesce(F.try_element_at(tags, F.lit(spec[1:])), F.lit("")))
         else:
             vals.append(F.lit(str(spec)))
     if not keys:
@@ -95,7 +95,7 @@ def _emit_attr_minzoom(emit: dict) -> Column:
 def _emit_z_order(emit: dict, tags: Column) -> Column:
     if "z_order_tag" in emit:
         return F.coalesce(
-            F.element_at(tags, emit["z_order_tag"]).cast("int"), F.lit(0))
+            F.try_element_at(tags, F.lit(emit["z_order_tag"])).cast("int"), F.lit(0))
     return F.lit(int(emit.get("z_order", 0))).cast("int")
 
 

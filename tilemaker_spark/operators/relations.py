@@ -58,7 +58,7 @@ def bounce_down_tag(relations: DataFrame, tag: str) -> DataFrame:
     ``tag`` from the nearest parent relation that has it (parent value
     wins only when present). Returns (ref, bounced_value) for ways."""
     er = entity_relations(relations).filter(F.col("mtype") == "way")
-    val = F.element_at("rel_tags", tag)
+    val = F.try_element_at("rel_tags", F.lit(tag))
     return (er.filter(val.isNotNull())
             .groupBy("ref")
             .agg(F.min(val).alias(f"bounced_{tag}")))
@@ -71,7 +71,7 @@ def accepted_relations(relations: DataFrame, predicate=None) -> DataFrame:
     accepts. Default: type=multipolygon (the reference always scans MPs,
     src/osm_lua_processing.cpp:985-1002)."""
     if predicate is None:
-        predicate = F.element_at("tags", "type") == "multipolygon"
+        predicate = F.try_element_at("tags", F.lit("type")) == "multipolygon"
     return relations.filter(predicate)
 
 
@@ -160,7 +160,7 @@ def features_from_relations(relations: DataFrame, ways: DataFrame,
     acc = accepted_relations(relations)
     mp = assemble_multipolygons(acc, ways, nodes)
     tags = F.col("tags")
-    is_water = F.element_at(tags, "natural") == "water"
+    is_water = F.try_element_at(tags, F.lit("natural")) == "water"
     return mp.select(
         F.col("rel_id").alias("feature_id"),
         F.when(is_water, "water").otherwise("landcover").alias("layer"),
