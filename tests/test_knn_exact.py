@@ -1,0 +1,48 @@
+"""Adaptive exact kNN: matches brute force even when the initial cell
+ring is too fine for sparse regions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.operators.geocode import derive_lat, derive_lon
+from tilemaker_spark.operators.spatial_join import knn_points_exact
+
+
+def _brute(spark, pts, k):
+    a = pts.select(F.col("pid").alias("probe_id"), "lon", "lat")
+    b = pts.select(F.col("pid").alias("target_id"),
+                   F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"))
+    cand = a.crossJoin(b)
+    rlat1 = F.radians("lat")
+    rlat2 = F.radians("t_lat")
+    aa = (F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+          + F.cos(rlat1) * F.cos(rlat2)
+          * F.pow(F.sin((F.radians("t_lon") - F.radians("lon")) / 2), 2))
+    d = F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(aa))
+    from pyspark.sql import Window
+    w = Window.partitionBy("probe_id").orderBy(F.col("dist_m"),
+                                               F.col("target_id"))
+    return (cand.withColumn("dist_m", d)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "target_id", "rank"))
+
+
+def test_adaptive_knn_matches_brute_force(spark):
+    """World-spread sparse points: z10 cells are far smaller than NN
+    distances, so the naive cell join would miss true neighbors; the
+    adaptive variant must escalate and still be exact."""
+    pts = (spark.range(120).withColumnRenamed("id", "pid")
+           .withColumn("lon", derive_lon(F.col("pid")))
+           .withColumn("lat", derive_lat(F.col("pid")))
+           .filter(F.col("pid") % 5 != 0)  # exclude the dense hot cluster
+           .cache())
+    probes = pts.select(F.col("pid").alias("probe_id"), "lon", "lat")
+    targets = pts.select(F.col("pid").alias("target_id"),
+                         F.col("lon").alias("lon"), F.col("lat").alias("lat"))
+    got = knn_points_exact(probes, targets, 3, cell_zoom=10)
+    exp = _brute(spark, pts, 3)
+    g = {(r.probe_id, r.rank): r.target_id for r in got.collect()}
+    e = {(r.probe_id, r.rank): r.target_id for r in exp.collect()}
+    assert g == e
+    assert len(g) == pts.count() * 3

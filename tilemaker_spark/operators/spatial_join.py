@@ -272,6 +272,64 @@ def knn_points(probes: DataFrame, targets: DataFrame, k: int,
             .select(probe_id, target_id, "dist_m", "rank"))
 
 
+def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
+                     probe_id: str = "probe_id", target_id: str = "target_id",
+                     cell_zoom: int = 10, max_rounds: int = 3) -> DataFrame:
+    """Exact kNN with an adaptive cell-ring guarantee.
+
+    :func:`knn_points` is exact only when every probe's kth-neighbor
+    distance fits inside the 3x3 cell ring. This wrapper CHECKS that
+    guarantee per probe (kth distance < one cell dimension at the
+    probe's latitude — the covered radius from anywhere in the center
+    cell) and escalates unsatisfied probes to a coarser grid (z-2 per
+    round); stragglers after max_rounds fall back to a brute-force
+    broadcast scan. At scale this means the cheap fine-grid join serves
+    dense regions while sparse-region probes (few) pay progressively
+    more — no global worst-case pricing.
+    """
+    remaining = probes
+    z = cell_zoom
+    pieces = []
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        res = knn_points(remaining, targets, k, probe_id=probe_id,
+                         target_id=target_id, cell_zoom=z)
+        stats = res.groupBy(probe_id).agg(F.max("dist_m").alias("_kth"),
+                                          F.count("*").alias("_n"))
+        joined = remaining.join(stats, probe_id, "left")
+        cell_m = F.lit(40075017.0 / (1 << z)) * F.cos(F.radians(F.col("lat")))
+        ok = (F.col("_n") >= k) & (F.col("_kth") < cell_m)
+        done_ids = joined.filter(ok).select(probe_id)
+        pieces.append(res.join(done_ids, probe_id, "left_semi"))
+        remaining = joined.filter(~F.coalesce(ok, F.lit(False))) \
+            .drop("_kth", "_n")
+        z -= 2
+    if not remaining.isEmpty():
+        # brute force for the sparse stragglers: broadcast them against
+        # the full target set
+        t = targets.withColumnRenamed("lon", "t_lon") \
+            .withColumnRenamed("lat", "t_lat")
+        cand = t.crossJoin(F.broadcast(remaining))
+        rlat1 = F.radians(F.col("lat"))
+        rlat2 = F.radians(F.col("t_lat"))
+        dlat = rlat2 - rlat1
+        dlon = F.radians(F.col("t_lon")) - F.radians(F.col("lon"))
+        a = (F.pow(F.sin(dlat / 2), 2)
+             + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2))
+        dist = F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+        w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(),
+                                                 F.col(target_id))
+        pieces.append(cand.withColumn("dist_m", dist)
+                      .withColumn("rank", F.row_number().over(w))
+                      .filter(F.col("rank") <= k)
+                      .select(probe_id, target_id, "dist_m", "rank"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------- raster<->vector (J11)
 
 def raster_coverage(polygons: DataFrame, zoom: int = 8) -> DataFrame:

@@ -52,12 +52,23 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import duckdb
 
     import __spark_entry__ as entrymod
-    from tilemaker_spark.session import get_spark
 
-    spark = get_spark("contract-check")
+    if os.environ.get("CONTRACT_ANSI"):
+        # mimic a vanilla driver session (Spark 4 defaults: ANSI on)
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .appName("contract-check-ansi")
+                 .config("spark.sql.ansi.enabled", "true")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .getOrCreate())
+    else:
+        from tilemaker_spark.session import get_spark
+        spark = get_spark("contract-check")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
