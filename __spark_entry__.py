@@ -130,15 +130,31 @@ def _q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10: kNN among the hot-cluster pages (cell-ring expansion join)."""
-    from tilemaker_spark.operators.spatial_join import knn_points
+    """J10: kNN among the hot-cluster pages — exact-by-contract variant
+    (adaptive cell-ring escalation + brute-force straggler fallback), so
+    correctness never depends on the kth neighbor fitting the 3x3 ring."""
+    from tilemaker_spark.operators.spatial_join import knn_points_exact
     g = _geo_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
     probes = g.select(F.col("doc_id").alias("probe_id"), "lon", "lat")
     targets = g.select(F.col("doc_id").alias("target_id"),
                        F.col("lon").alias("lon"), F.col("lat").alias("lat"))
-    out = knn_points(probes, targets, KNN_K, cell_zoom=KNN_CELL_ZOOM)
-    return out.select("probe_id", "target_id",
-                      F.round("dist_m", 3).alias("dist_m"), "rank")
+    out = knn_points_exact(probes, targets, KNN_K, cell_zoom=KNN_CELL_ZOOM)
+    return out.select("probe_id", "target_id", "dist_m", "rank")
+
+
+def _q_knn_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 exactness witness: kNN over a SPARSE worldwide point set whose
+    kth-neighbor distances far exceed a z10 cell — plain knn_points would
+    silently under-report here; knn_points_exact must escalate through
+    coarser grids and fall back to the brute-force straggler scan."""
+    from tilemaker_spark.operators.spatial_join import knn_points_exact
+    g = (_geo_docs(spark, sf_dir)
+         .filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 37 == 1)))
+    probes = g.select(F.col("doc_id").alias("probe_id"), "lon", "lat")
+    targets = g.select(F.col("doc_id").alias("target_id"),
+                       F.col("lon").alias("lon"), F.col("lat").alias("lat"))
+    out = knn_points_exact(probes, targets, KNN_K, cell_zoom=KNN_CELL_ZOOM)
+    return out.select("probe_id", "target_id", "dist_m", "rank")
 
 
 def _q_raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zoom_rollup": _q_zoom_rollup,
         "spatial_join_pip": _q_spatial_join_pip,
         "knn_hot": _q_knn,
+        "knn_sparse": _q_knn_sparse,
         "raster_coverage": _q_raster_coverage,
         "way_join_agg": _q_way_join,
         "topk_per_group": _q_topk_per_group,
@@ -591,17 +608,34 @@ WHERE lon >= -5.0 AND lon < 5.0 AND lat >= 38.0 AND lat < 48.0
 ORDER BY doc_id, name"""
 
     hav = _haversine_sql("p.lat", "p.lon", "t.lat", "t.lon")
+    # round BEFORE ranking on both sides (project invariant: floats in
+    # oracle-checked window queries are rounded identically pre-rank)
     q["knn_hot"] = f"""
 WITH {_geo_cte()},
 hot AS (SELECT * FROM geo WHERE doc_id % 5 = 0),
 pairs AS (
-  SELECT p.doc_id AS probe_id, t.doc_id AS target_id, {hav} AS d
+  SELECT p.doc_id AS probe_id, t.doc_id AS target_id,
+         round({hav}, 3) AS d
   FROM hot p, hot t),
 ranked AS (
   SELECT probe_id, target_id, d,
          row_number() OVER (PARTITION BY probe_id ORDER BY d, target_id) AS rank
   FROM pairs)
-SELECT probe_id, target_id, round(d, 3) AS dist_m, CAST(rank AS INT) AS rank
+SELECT probe_id, target_id, d AS dist_m, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {KNN_K}"""
+
+    q["knn_sparse"] = f"""
+WITH {_geo_cte()},
+sparse AS (SELECT * FROM geo WHERE doc_id % 5 <> 0 AND doc_id % 37 = 1),
+pairs AS (
+  SELECT p.doc_id AS probe_id, t.doc_id AS target_id,
+         round({hav}, 3) AS d
+  FROM sparse p, sparse t),
+ranked AS (
+  SELECT probe_id, target_id, d,
+         row_number() OVER (PARTITION BY probe_id ORDER BY d, target_id) AS rank
+  FROM pairs)
+SELECT probe_id, target_id, d AS dist_m, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {KNN_K}"""
 
     n = 1 << RASTER_Z

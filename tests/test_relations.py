@@ -108,7 +108,11 @@ def test_bounce_down_tag(spark, rel_data):
 def test_features_from_relations(spark, rel_data):
     relations, rel_ways, rel_nodes = rel_data
     feats = features_from_relations(relations, rel_ways, rel_nodes)
-    rows = {r.feature_id: r for r in feats.collect()}
+    from tilemaker_spark.operators.relations import RELATION_ID_OFFSET
+    rows = {r.feature_id - RELATION_ID_OFFSET: r for r in feats.collect()}
+    # feature ids are offset into the relation namespace so a way with the
+    # same numeric id can never collide in a layer's dedup key
+    assert all(r.feature_id >= RELATION_ID_OFFSET for r in rows.values())
     assert rows[400001].layer == "water"
     assert rows[400003].layer == "landcover"
     assert all(r.geom_type == 3 for r in rows.values())

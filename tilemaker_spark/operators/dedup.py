@@ -44,7 +44,12 @@ def shingles(docs: DataFrame, n: int = 2) -> DataFrame:
     Tokenization is a plain single-space split (matches the corpus
     convention and the SQL twin `string_split(text, ' ')`).
     """
-    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # docs with < n tokens yield no shingles; without the filter guard,
+    # sequence(1, size(w)-1) DESCENDS for size(w)=1 (Spark sequence(1,0)
+    # = [1,0]) and element_at(w, 0) throws — DuckDB's range() returns no
+    # rows, so the guard also keeps the oracle twin exact
+    toks = (docs.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= n))
     parts = ", ".join(
         f"element_at(w, i + {j})" for j in range(n))
     sh = toks.select(

@@ -29,6 +29,14 @@ from pyspark.sql.functions import pandas_udf
 from tilemaker_spark.functions import geomnp as G
 from tilemaker_spark.operators.profile import assemble_way_geoms
 
+# Relation-derived features live in a distinct feature-id namespace:
+# OSM way ids and relation ids are separate sequences, so a way and a
+# relation with the same numeric id can land in the same layer+tile and
+# must not dedup/collide (the reference keys OutputObjects by typed
+# object ids — src/output_object.h OutputObjectID carries the entity
+# type). 2^42 clears the max OSM id (~2^33) with headroom.
+RELATION_ID_OFFSET = 1 << 42
+
 
 # ------------------------------------------------------- membership (J8)
 
@@ -162,7 +170,7 @@ def features_from_relations(relations: DataFrame, ways: DataFrame,
     tags = F.col("tags")
     is_water = F.try_element_at(tags, F.lit("natural")) == "water"
     return mp.select(
-        F.col("rel_id").alias("feature_id"),
+        (F.col("rel_id") + F.lit(RELATION_ID_OFFSET)).alias("feature_id"),
         F.when(is_water, "water").otherwise("landcover").alias("layer"),
         F.lit(3).alias("geom_type"),
         F.lit(0).alias("min_zoom"),

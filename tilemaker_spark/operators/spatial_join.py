@@ -263,7 +263,11 @@ def knn_points(probes: DataFrame, targets: DataFrame, k: int,
     dlat = rlat2 - rlat1
     dlon = F.radians(F.col("t_lon")) - F.radians(F.col("lon"))
     a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
-    dist = F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+    # round to mm BEFORE ranking: JVM vs oracle libm can differ by ulps
+    # on near-equal distances, which would flip row_number ranks (project
+    # invariant: floats in oracle-checked windows are rounded identically
+    # on both sides before ranking)
+    dist = F.round(F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a)), 3)
     cand = cand.withColumn("dist_m", dist).dropDuplicates([probe_id, target_id])
 
     w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(), F.col(target_id))
@@ -287,11 +291,19 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
     dense regions while sparse-region probes (few) pay progressively
     more — no global worst-case pricing.
     """
+    from pyspark import StorageLevel
+
     remaining = probes
     z = cell_zoom
     pieces = []
+    drained = False
     for _ in range(max_rounds):
+        # persist: each round's `remaining` feeds the emptiness probe, the
+        # candidate join, AND the next round's escalation filter — without
+        # caching every round re-runs the entire prior lineage
+        remaining = remaining.persist(StorageLevel.MEMORY_AND_DISK)
         if remaining.isEmpty():
+            drained = True
             break
         res = knn_points(remaining, targets, k, probe_id=probe_id,
                          target_id=target_id, cell_zoom=z)
@@ -305,7 +317,7 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
         remaining = joined.filter(~F.coalesce(ok, F.lit(False))) \
             .drop("_kth", "_n")
         z -= 2
-    if not remaining.isEmpty():
+    if not drained and not remaining.isEmpty():
         # brute force for the sparse stragglers: broadcast them against
         # the full target set
         t = targets.withColumnRenamed("lon", "t_lon") \
@@ -317,7 +329,7 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
         dlon = F.radians(F.col("t_lon")) - F.radians(F.col("lon"))
         a = (F.pow(F.sin(dlat / 2), 2)
              + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2))
-        dist = F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+        dist = F.round(F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a)), 3)
         w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(),
                                                  F.col(target_id))
         pieces.append(cand.withColumn("dist_m", dist)

@@ -411,14 +411,19 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
     threshold = threshold if threshold is not None else config.hot_tile_threshold
     salt = salt if salt is not None else config.hot_tile_salt
 
+    from pyspark import StorageLevel
+
     counts = feature_tiles.groupBy("z", "x", "y").agg(F.count("*").alias("_n"))
-    # materialize the hot-key set once (small by construction: tiles with
-    # > threshold features) — reused by three joins below
-    spark = feature_tiles.sparkSession
-    hot_rows = counts.filter(F.col("_n") > threshold).drop("_n").collect()
-    if not hot_rows:
+    # hot keys stay a (persisted) DataFrame — never collected to the
+    # driver: at planet scale threshold-exceeding tiles can number in the
+    # millions, and the three joins below only need them broadcast
+    # executor-side. Small by construction (tiles with > threshold
+    # features), so broadcast is safe.
+    hot_keys = (counts.filter(F.col("_n") > threshold).drop("_n")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    if hot_keys.limit(1).count() == 0:
+        hot_keys.unpersist()
         return assemble_tiles(feature_tiles, config, num_partitions)
-    hot_keys = spark.createDataFrame(hot_rows, "z int, x long, y long")
     joined = feature_tiles.join(
         F.broadcast(hot_keys.withColumn("_hot", F.lit(1))),
         ["z", "x", "y"], "left")
@@ -442,7 +447,6 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
 
     # persist: the cold and hot branches below both read `partial`; without
     # materialization Spark would re-run the whole encode once per branch
-    from pyspark import StorageLevel
     partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
 
     cold = partial.join(F.broadcast(hot_keys), ["z", "x", "y"], "left_anti")

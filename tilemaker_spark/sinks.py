@@ -19,6 +19,7 @@ src/tile_worker.cpp:405-417,486-490.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import json
 import os
 import sqlite3
@@ -115,16 +116,49 @@ def write_mbtiles(tiles: DataFrame, path: str, metadata: dict | None = None,
     return n
 
 
-def read_mbtiles(spark, path: str) -> DataFrame:
+def read_mbtiles(spark, path: str, chunk_rows: int = 20_000) -> DataFrame:
     """S8 merge-read: load an existing MBTiles into a tiles DataFrame
-    (y un-flipped back to XYZ)."""
+    (y un-flipped back to XYZ).
+
+    Scale path: the driver reads only min/max rowid (two index probes),
+    then executors each open the sqlite file read-only and scan a rowid
+    range via mapInPandas — mirroring the blob-list pattern of
+    sources_pbf.read_pbf. A planet mbtiles (~80 GB) never materializes
+    on the driver; each task holds at most one chunk."""
     con = sqlite3.connect(path)
-    rows = con.execute("SELECT zoom_level, tile_column, tile_row, tile_data "
-                       "FROM tiles").fetchall()
+    row = con.execute("SELECT MIN(rowid), MAX(rowid) FROM tiles").fetchone()
     con.close()
-    data = [(int(z), int(x), (1 << int(z)) - 1 - int(y), bytes(b))
-            for z, x, y, b in rows]
-    return spark.createDataFrame(data, "z int, x long, y long, tile binary")
+    lo, hi = row
+    if lo is None:
+        return spark.createDataFrame([], "z int, x long, y long, tile binary")
+    ranges = [(int(s), int(min(s + chunk_rows - 1, hi)))
+              for s in range(int(lo), int(hi) + 1, chunk_rows)]
+    rdf = spark.createDataFrame(ranges, "lo long, hi long")
+
+    def read_ranges(batches):
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            for pdf in batches:
+                for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
+                    rows = con.execute(
+                        "SELECT zoom_level, tile_column, tile_row, tile_data "
+                        "FROM tiles WHERE rowid BETWEEN ? AND ?",
+                        (int(lo_), int(hi_))).fetchall()
+                    if rows:
+                        yield pd.DataFrame({
+                            "z": [int(z) for z, _, _, _ in rows],
+                            "x": [int(x) for _, x, _, _ in rows],
+                            "y": [(1 << int(z)) - 1 - int(y)
+                                  for z, _, y, _ in rows],
+                            "tile": [bytes(b) for _, _, _, b in rows],
+                        })
+        finally:
+            con.close()
+
+    n_parts = max(1, min(len(ranges), 32))
+    return (rdf.repartition(n_parts)
+            .mapInPandas(read_ranges,
+                         schema="z int, x long, y long, tile binary"))
 
 
 # ------------------------------------------------------------- PMTiles
@@ -201,14 +235,16 @@ def write_pmtiles(tiles: DataFrame, path: str,
         .sortWithinPartitions("tileid")
     entries = []  # (tileid, offset, length, run_length)
     data = bytearray()
-    seen_ranges = {}  # tile bytes hash -> (offset, length) dedup
+    # sha256 digest -> (offset, length): collision-safe content dedup
+    # (Python hash() of bytes can collide and would alias tile content).
+    seen_ranges = {}
     minz, maxz = 99, 0
     n_addressed = 0
     for row in ordered.select("tileid", "z", "tile").toLocalIterator():
         b = bytes(row.tile)
         minz, maxz = min(minz, row.z), max(maxz, row.z)
         n_addressed += 1
-        key = hash(b)
+        key = hashlib.sha256(b).digest()
         if key in seen_ranges:
             off, ln = seen_ranges[key]
         else:
@@ -393,15 +429,18 @@ def _merge_tile_groups(pdf, compress):
 
 
 def _concat_mvt_layers(blobs, compress):
-    """Concatenate raw MVT layer messages — layers are repeated field 3
-    of the Tile message, so merging is byte-level concatenation of the
-    (possibly decompressed) payloads."""
+    """Merge MVT payloads feature-wise: same-named layers are combined
+    into one layer (MVT spec requires unique layer names per tile; the
+    reference merges features into the existing layer,
+    src/tile_worker.cpp:405-417). Byte-concatenation would emit two
+    layers with the same name, and readers (including our decode_tile)
+    keep only one — silently dropping features."""
     parts = []
     for b in blobs:
         if b[:2] == b"\x1f\x8b":
             b = gzip.decompress(b)
         parts.append(b)
-    merged = b"".join(parts)
+    merged = mvt.merge_tiles(parts)
     if compress == "gzip":
         merged = mvt.compress_tile(merged, "gzip")
     return merged
