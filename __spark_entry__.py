@@ -470,6 +470,36 @@ def _q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("z", "x", "y").orderBy("z", "x", "y")
 
 
+# F6 oracle bbox: a window around the hot "city" (covers the 20% hot
+# cluster plus some scattered pages). Shared by the Spark query and the
+# SQL oracle below.
+E2E_BBOX = (-75.0, 39.8, -73.0, 41.5)
+
+
+def _q_tiles_e2e_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 witness: the tiles_e2e pipeline with bounding-box tile pruning
+    wired (EngineConfig.bounding_box -> bbox_tile_filter before the
+    assembly shuffle). Emits (z, x, y, n_features) — fully SQL-checkable:
+    the oracle reproduces the pruned tile set with pure tile math."""
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.fixtures import pages_from_documents
+    from tilemaker_spark.operators.profile import features_from_pages
+    from tilemaker_spark.operators.tile_assembly import assemble_tiles
+    from tilemaker_spark.operators.tiling import (
+        ancestor_rollup, bbox_tile_filter, cover_explode)
+    cfg = default_config()
+    cfg.basezoom = 10
+    cfg.compress = "none"
+    cfg.bounding_box = list(E2E_BBOX)
+    pages = pages_from_documents(spark, sf_dir)
+    feats = features_from_pages(pages).drop("url", "text")
+    ft = cover_explode(feats, cfg.basezoom)
+    ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
+    ft = ft.filter(F.col("z") >= F.col("min_zoom"))
+    ft = bbox_tile_filter(ft, cfg.bounding_box)
+    return assemble_tiles(ft, cfg).select("z", "x", "y", "n_features")
+
+
 def _q_tiles_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end tiles (binary MVT; driver rows-only check)."""
     from tilemaker_spark.config import default_config
@@ -522,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sources": _q_union_sources,
         "incremental_merge": _q_incremental_merge,
         "tiles_e2e": _q_tiles_e2e,
+        "tiles_e2e_bbox": _q_tiles_e2e_bbox,
     }
 
 
@@ -864,6 +895,41 @@ WITH u AS (
   SELECT DISTINCT user_id AS entity_id, 'events' AS src FROM events)
 SELECT src, count(*) AS n_entities, min(entity_id) AS min_id
 FROM u GROUP BY src"""
+
+    # tiles_e2e_bbox: the F6-pruned tile set IS SQL-expressible — point
+    # features only, so each tile's n_features = pages assigned to it
+    # with min_zoom <= z, within the static (z,x,y) ranges of E2E_BBOX.
+    # The latp extremes are inlined as the EXACT float64 the Spark-side
+    # bbox_tile_filter computes (same numpy call), so floor() boundaries
+    # agree bit-for-bit.
+    import numpy as _np
+
+    from tilemaker_spark.functions.coords import lat2latp_np as _l2lp
+    _b_lon0, _b_lat0, _b_lon1, _b_lat1 = E2E_BBOX
+    _latp_lo = float(_l2lp(_np.array([_b_lat0]))[0])
+    _latp_hi = float(_l2lp(_np.array([_b_lat1]))[0])
+    q["tiles_e2e_bbox"] = f"""
+WITH geo AS (SELECT doc_id, {sql_lon('doc_id')} AS lon,
+                    {sql_lat('doc_id')} AS lat,
+                    CASE WHEN length(text) > 300 THEN 0
+                         WHEN length(text) > 150 THEN 6 ELSE 10 END AS mz
+             FROM documents),
+base AS (SELECT doc_id, mz, {sql_tile_x('lon', 10)} AS bx,
+                {sql_tile_y('lat', 10)} AS by FROM geo),
+lvl AS (SELECT CAST(z AS INT) AS z, doc_id,
+               bx // CAST(pow(2, 10 - z) AS BIGINT) AS x,
+               by // CAST(pow(2, 10 - z) AS BIGINT) AS y
+        FROM base, UNNEST(range(0, 11)) AS t(z)
+        WHERE z >= mz)
+SELECT z, x, y, CAST(count(*) AS INT) AS n_features
+FROM lvl
+WHERE x >= greatest(0, CAST(floor(({_b_lon0!r} + 180.0) / 360.0 * pow(2, z)) AS BIGINT))
+  AND x <= least(CAST(pow(2, z) AS BIGINT) - 1,
+                 CAST(floor(({_b_lon1!r} + 180.0) / 360.0 * pow(2, z)) AS BIGINT))
+  AND y >= greatest(0, CAST(floor((180.0 - {_latp_hi!r}) / 360.0 * pow(2, z)) AS BIGINT))
+  AND y <= least(CAST(pow(2, z) AS BIGINT) - 1,
+                 CAST(floor((180.0 - {_latp_lo!r}) / 360.0 * pow(2, z)) AS BIGINT))
+GROUP BY z, x, y"""
 
     # winnow_fingerprints, tiles_e2e, relations_multipolygon, pbf_scan:
     # non-SQL-expressible (pandas-UDF rolling hash / binary MVT assembly /

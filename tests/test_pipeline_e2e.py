@@ -141,3 +141,35 @@ def test_roads_are_lines_in_tiles(spark, tmp_path_factory):
                 if f["type"] == mvt.GEOM_POLYGON:
                     found_poly = True
     assert found_line and found_poly
+
+
+def test_bbox_tile_filter(spark, pages):
+    """F6: out-of-box tiles are pruned; in-box tiles survive untouched;
+    world bbox is a no-op."""
+    from tilemaker_spark.operators.tiling import bbox_tile_filter
+    feats = features_from_pages(pages).drop("url", "text")
+    ft = cover_explode(feats, 10)
+    ft = ancestor_rollup(ft, 0, 10)
+    bbox = (-75.0, 39.8, -73.0, 41.5)  # around the hot city
+    kept = bbox_tile_filter(ft, bbox)
+    # world bbox: identical row count (no-op path)
+    assert bbox_tile_filter(ft, (-180.0, -85.06, 180.0, 85.06)).count() \
+        == ft.count()
+    # every surviving tile's envelope intersects the bbox (checked via
+    # independent scalar math), and at least the hot-city tiles survive
+    from tilemaker_spark.functions.coords import lat2latp_np
+    latp_lo = float(lat2latp_np(np.array([39.8]))[0])
+    latp_hi = float(lat2latp_np(np.array([41.5]))[0])
+    rows = kept.select("z", "x", "y").distinct().collect()
+    assert rows
+    for r in rows:
+        n = 1 << r.z
+        xmin = max(0, int(np.floor((-75.0 + 180.0) / 360.0 * n)))
+        xmax = min(n - 1, int(np.floor((-73.0 + 180.0) / 360.0 * n)))
+        ymin = max(0, int(np.floor((180.0 - latp_hi) / 360.0 * n)))
+        ymax = min(n - 1, int(np.floor((180.0 - latp_lo) / 360.0 * n)))
+        assert xmin <= r.x <= xmax and ymin <= r.y <= ymax, (r, xmin, xmax)
+    # hot-city z10 tile is inside the box and must survive
+    assert kept.filter((F.col("z") == 10)).count() > 0
+    # pruning really removed something (world has far more tiles)
+    assert kept.count() < ft.count()

@@ -145,6 +145,52 @@ def zoom_gates(feature_tiles: DataFrame, layer_zooms: dict) -> DataFrame:
     return df
 
 
+WORLD_BBOX = (-180.0, -85.06, 180.0, 85.06)
+
+
+def bbox_is_world(bbox) -> bool:
+    min_lon, min_lat, max_lon, max_lat = bbox
+    return (min_lon <= WORLD_BBOX[0] and min_lat <= WORLD_BBOX[1]
+            and max_lon >= WORLD_BBOX[2] and max_lat >= WORLD_BBOX[3])
+
+
+def bbox_tile_filter(feature_tiles: DataFrame, bbox) -> DataFrame:
+    """F6 — prune (z, x, y) tiles outside the configured bounding box.
+
+    Reference semantics: tiles whose envelope misses the clip box are
+    skipped outright (src/tilemaker.cpp:360-374,425-435; per-tile
+    early-out src/tile_worker.cpp:478-483). Spark recast: one static
+    Column range predicate on (z, x, y) — pure codegen integer math per
+    row, applied BEFORE the assembly shuffle so out-of-box tiles never
+    shuffle at all. The reference's z6 wholly-covered fast path (skip
+    the per-tile check when the zoom-6 ancestor is inside the box) is
+    subsumed here: the vectorized range compare costs the same either
+    way and short-circuits in codegen.
+
+    bbox = (min_lon, min_lat, max_lon, max_lat) in degrees.
+    """
+    if bbox_is_world(bbox):
+        return feature_tiles
+    from tilemaker_spark.functions.coords import lat2latp_np
+    min_lon, min_lat, max_lon, max_lat = (float(v) for v in bbox)
+    # projected (latp) extremes are static scalars — computed once
+    latp_lo = float(lat2latp_np(np.array([max(min(min_lat, 85.06), -85.06)]))[0])
+    latp_hi = float(lat2latp_np(np.array([max(min(max_lat, 85.06), -85.06)]))[0])
+    n = F.expr("shiftleft(CAST(1 AS BIGINT), z)")  # 2^z (z <= 30 in practice)
+    nmax = n - 1
+    x_min = F.greatest(F.lit(0).cast("long"),
+                       F.floor((F.lit(min_lon) + 180.0) / 360.0 * n))
+    x_max = F.least(nmax.cast("long"),
+                    F.floor((F.lit(max_lon) + 180.0) / 360.0 * n))
+    y_min = F.greatest(F.lit(0).cast("long"),
+                       F.floor((F.lit(180.0) - latp_hi) / 360.0 * n))
+    y_max = F.least(nmax.cast("long"),
+                    F.floor((F.lit(180.0) - latp_lo) / 360.0 * n))
+    return feature_tiles.filter(
+        (F.col("x") >= x_min) & (F.col("x") <= x_max)
+        & (F.col("y") >= y_min) & (F.col("y") <= y_max))
+
+
 def apply_feature_limit(feature_tiles: DataFrame, limit: int,
                         limit_below: int) -> DataFrame:
     """O2 — per-(tile, layer) top-K by draw order below a zoom.

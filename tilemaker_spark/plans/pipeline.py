@@ -28,6 +28,7 @@ from tilemaker_spark.operators.tile_assembly import (
 from tilemaker_spark.operators.tiling import (
     ancestor_rollup,
     apply_feature_limit,
+    bbox_tile_filter,
     cover_explode,
     zoom_gates,
 )
@@ -156,6 +157,11 @@ class TilePipeline:
         layer_zooms = {name: (lc.minzoom, lc.maxzoom)
                        for name, lc in cfg.layers.items()}
         ft = zoom_gates(ft, layer_zooms)
+        # F6 — bounding-box tile pruning (reference
+        # src/tilemaker.cpp:360-374,425-435): static (z,x,y) range
+        # filter; lands before the assembly shuffle so out-of-box tiles
+        # never shuffle (no-op for the world bbox)
+        ft = bbox_tile_filter(ft, cfg.bounding_box)
         # O2 pre-limit bounds hot groups before the assembly shuffle
         max_limit = max((lc.feature_limit for lc in cfg.layers.values()
                          if lc.feature_limit > 0), default=0)
