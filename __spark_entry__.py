@@ -331,6 +331,42 @@ def _q_area_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("inter_area", 8).alias("inter_area"))
 
 
+# Concave / multi-ring build polygons for the J5 overlay-kernel oracle:
+# L-shapes (concave, 6 vertices) and donuts (outer + hole). All edges
+# axis-aligned in (lon, lat) so the SQL twin decomposes each build into
+# signed rectangles with closed-form latp overlap areas.
+_L_XS = [-5.0 + 2 * i for i in range(5)]
+_L_Y0 = 38.0
+_DONUT_XS = [-4.2, -0.9, 2.1]
+
+
+def _concave_build_polys(spark: SparkSession) -> DataFrame:
+    rows = []
+    for i, x0 in enumerate(_L_XS):
+        y0 = _L_Y0
+        ring = [x0, y0, x0 + 2, y0, x0 + 2, y0 + 1,
+                x0 + 1, y0 + 1, x0 + 1, y0 + 2, x0, y0 + 2]
+        rows.append((f"L{i}", [ring]))
+    for j, dx0 in enumerate(_DONUT_XS):
+        outer = [dx0, 38.1, dx0 + 2.4, 38.1, dx0 + 2.4, 40.5, dx0, 40.5]
+        hole = [dx0 + 0.8, 38.9, dx0 + 1.6, 38.9,
+                dx0 + 1.6, 39.7, dx0 + 0.8, 39.7]
+        rows.append((f"D{j}", [outer, hole]))
+    return spark.createDataFrame(rows, "name string, rings array<array<double>>")
+
+
+def _q_area_join_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with CONCAVE + multi-ring (hole) build polygons — exercises the
+    general overlay kernel (functions/overlay.py), not the convex
+    Sutherland-Hodgman fast path. Oracle: signed-rectangle decomposition
+    (L = 2 rects; donut = outer rect - hole rect)."""
+    from tilemaker_spark.operators.spatial_join import area_intersecting_polygons
+    polys = _concave_build_polys(spark)
+    out = area_intersecting_polygons(_rect_features(spark), polys)
+    return out.select(F.col("feature_id").alias("rect_id"), "name",
+                      F.round("inter_area", 8).alias("inter_area"))
+
+
 def _q_covered_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 CoveredBy: probe rects fully inside a checkerboard square."""
     from tilemaker_spark.fixtures import make_layer_polygons
@@ -541,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embed_topk,
         "embedding_ivf_topk": _q_embed_ivf,
         "area_join": _q_area_join,
+        "area_join_concave": _q_area_join_concave,
         "covered_by_join": _q_covered_by,
         "geom_measures": _q_geom_measures,
         "relations_multipolygon": _q_relations,
@@ -860,6 +897,34 @@ pairs AS (
   WHERE rx0 <= sx1 AND rx1 >= sx0 AND ry0 <= sy1 AND ry1 >= sy0)
 SELECT rect_id, name, round(ox * oy, 8) AS inter_area
 FROM pairs WHERE ox * oy > 0"""
+
+    # J5 concave/multi-ring: each build polygon decomposes into SIGNED
+    # axis-aligned rectangles (L = two rects, donut = outer - hole), so
+    # the latp overlap area is closed-form; sum per (rect, build).
+    q["area_join_concave"] = f"""
+WITH {_rect_sql()},
+els AS (SELECT 'L' || CAST(i AS VARCHAR) AS name, -5.0 + 2 * i AS bx0
+        FROM range(5) t(i)),
+donuts AS (SELECT 'D' || CAST(j AS VARCHAR) AS name, dx0
+           FROM (VALUES (0, -4.2), (1, -0.9), (2, 2.1)) AS d(j, dx0)),
+parts AS (
+  SELECT name, bx0 AS qx0, {_L_Y0!r} AS qy0, bx0 + 2 AS qx1,
+         {_L_Y0 + 1!r} AS qy1, 1.0 AS w FROM els
+  UNION ALL
+  SELECT name, bx0, {_L_Y0 + 1!r}, bx0 + 1, {_L_Y0 + 2!r}, 1.0 FROM els
+  UNION ALL
+  SELECT name, dx0, 38.1, dx0 + 2.4, 40.5, 1.0 FROM donuts
+  UNION ALL
+  SELECT name, dx0 + 0.8, 38.9, dx0 + 1.6, 39.7, -1.0 FROM donuts),
+pairs AS (
+  SELECT rect_id, name,
+         w * greatest(0.0, least(rx1, qx1) - greatest(rx0, qx0))
+           * greatest(0.0,
+                      {latp_of.format(v='least(ry1, qy1)')}
+                      - {latp_of.format(v='greatest(ry0, qy0)')}) AS a
+  FROM rects, parts)
+SELECT rect_id, name, round(sum(a), 8) AS inter_area
+FROM pairs GROUP BY rect_id, name HAVING sum(a) > 0"""
 
     q["covered_by_join"] = f"""
 WITH {_rect_sql()},

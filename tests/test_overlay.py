@@ -1,0 +1,311 @@
+"""Overlay kernel tests — closed-form oracles for union / intersection /
+make_valid on concave, overlapping, shared-edge, and self-intersecting
+polygons (the round-1 documented partials A5/G12, J5, G11)."""
+
+import numpy as np
+import pytest
+
+from tilemaker_spark.functions.geomnp import ring_area
+from tilemaker_spark.functions.overlay import (
+    intersection_area,
+    intersection_rings,
+    make_valid,
+    polygon_overlay,
+    union_many,
+)
+
+
+def ring(*pts):
+    return np.asarray(pts, dtype=np.float64)
+
+
+def sq(x0, y0, x1, y1, ccw=True):
+    r = ring((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+    return r if ccw else r[::-1]
+
+
+def total_area(rings):
+    return sum(ring_area(r) for r in rings)
+
+
+# ------------------------------------------------------------------ union
+
+def test_union_disjoint():
+    out = union_many([[sq(0, 0, 1, 1)], [sq(5, 5, 6, 6)]])
+    assert len(out) == 2
+    assert total_area(out) == pytest.approx(2.0, rel=1e-9)
+
+
+def test_union_overlapping_squares():
+    # two 2x2 squares overlapping in a 1x1 area -> one ring, area 7
+    out = union_many([[sq(0, 0, 2, 2)], [sq(1, 1, 3, 3)]])
+    assert len(out) == 1
+    assert ring_area(out[0]) == pytest.approx(7.0, rel=1e-9)
+    # the union boundary is the L-shaped octagon (8 vertices)
+    assert len(out[0]) == 8
+
+
+def test_union_shared_edge_dissolves():
+    # adjacent rectangles sharing edge x=1 -> one 2x1 rectangle, 4 verts
+    out = union_many([[sq(0, 0, 1, 1)], [sq(1, 0, 2, 1)]])
+    assert len(out) == 1
+    assert ring_area(out[0]) == pytest.approx(2.0, rel=1e-9)
+    xs = sorted(set(out[0][:, 0]))
+    assert xs == [0.0, 2.0]  # the interior border at x=1 vanished
+
+
+def test_union_contained():
+    out = union_many([[sq(0, 0, 4, 4)], [sq(1, 1, 2, 2)]])
+    assert len(out) == 1
+    assert ring_area(out[0]) == pytest.approx(16.0, rel=1e-9)
+
+
+def test_union_identical():
+    out = union_many([[sq(0, 0, 1, 1)], [sq(0, 0, 1, 1)]])
+    assert len(out) == 1
+    assert ring_area(out[0]) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_union_creates_hole():
+    # four 3x1 bars forming a square annulus around a 1x1 hole
+    bars = [
+        [sq(0, 0, 3, 1)],          # bottom
+        [sq(0, 2, 3, 3)],          # top
+        [sq(0, 0, 1, 3)],          # left
+        [sq(2, 0, 3, 3)],          # right
+    ]
+    out = union_many(bars)
+    # one outer (area 9) + one hole (area -1) -> net 8
+    assert total_area(out) == pytest.approx(8.0, rel=1e-9)
+    assert len(out) == 2
+    assert ring_area(out[0]) == pytest.approx(9.0, rel=1e-9)
+    assert ring_area(out[1]) == pytest.approx(-1.0, rel=1e-9)
+
+
+def test_union_preserves_input_holes():
+    # one polygon with a hole, unioned with a disjoint square: hole kept
+    poly_with_hole = [sq(0, 0, 4, 4), sq(1, 1, 2, 2, ccw=False)]
+    out = union_many([poly_with_hole, [sq(10, 10, 11, 11)]])
+    assert total_area(out) == pytest.approx(16.0 - 1.0 + 1.0, rel=1e-9)
+
+
+def test_union_overlap_covers_hole():
+    # second polygon covers the first's hole entirely -> hole vanishes
+    poly_with_hole = [sq(0, 0, 4, 4), sq(1, 1, 2, 2, ccw=False)]
+    out = union_many([poly_with_hole, [sq(0.5, 0.5, 2.5, 2.5)]])
+    assert len(out) == 1
+    assert ring_area(out[0]) == pytest.approx(16.0, rel=1e-9)
+
+
+# ----------------------------------------------------------- intersection
+
+def test_intersection_concave_L():
+    # L-shape = [0,2]x[0,1] + [0,1]x[1,2]; clip by square [0.5,1.5]^2
+    L = ring((0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2))
+    got = intersection_area([L], [sq(0.5, 0.5, 1.5, 1.5)])
+    # closed form: [0.5,1.5]x[0.5,1] (0.5) + [0.5,1]x[1,1.5] (0.25)
+    assert got == pytest.approx(0.75, rel=1e-9)
+
+
+def test_intersection_concave_notch_two_pieces():
+    # U-shape clipped by a bar across the top -> two disjoint pieces
+    U = ring((0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3))
+    bar = [sq(-1, 2, 4, 4)]
+    rings = intersection_rings([U], bar)
+    outers = [r for r in rings if ring_area(r) > 0]
+    assert len(outers) == 2
+    assert total_area(rings) == pytest.approx(2.0, rel=1e-9)
+
+
+def test_intersection_disjoint_zero():
+    assert intersection_area([sq(0, 0, 1, 1)], [sq(5, 5, 6, 6)]) == 0.0
+
+
+def test_intersection_touching_edge_zero():
+    assert intersection_area([sq(0, 0, 1, 1)], [sq(1, 0, 2, 1)]) \
+        == pytest.approx(0.0, abs=1e-12)
+
+
+def test_intersection_contained():
+    got = intersection_area([sq(0, 0, 4, 4)], [sq(1, 1, 2, 2)])
+    assert got == pytest.approx(1.0, rel=1e-9)
+
+
+def test_intersection_with_hole():
+    # A = square with center hole; B = center square covering the hole:
+    # intersection = B minus the hole ring
+    A = [sq(0, 0, 4, 4), sq(1.5, 1.5, 2.5, 2.5, ccw=False)]
+    B = [sq(1, 1, 3, 3)]
+    got = intersection_area(A, B)
+    assert got == pytest.approx(4.0 - 1.0, rel=1e-9)
+
+
+def test_intersection_matches_convex_kernel():
+    # parity with the existing convex-only path on a convex case
+    from tilemaker_spark.functions.geomnp import intersection_area_with_convex
+    tri = ring((0, 0), (3, 0), (1.5, 2.7))
+    clip = sq(0.7, 0.3, 2.2, 1.9)
+    a_new = intersection_area([tri], [clip])
+    a_old = intersection_area_with_convex([tri], clip)
+    assert a_new == pytest.approx(a_old, rel=1e-9)
+
+
+# ------------------------------------------------------------- make_valid
+
+def test_make_valid_bowtie():
+    # self-intersecting bowtie -> two triangles, total area 2 * 0.25
+    bow = ring((0, 0), (1, 1), (1, 0), (0, 1))
+    out = make_valid([bow])
+    outers = [r for r in out if ring_area(r) > 0]
+    assert len(outers) == 2
+    assert total_area(out) == pytest.approx(0.5, rel=1e-9)
+
+
+def test_make_valid_fixes_winding():
+    # CW outer comes back CCW (positive area), hole stays negative
+    out = make_valid([sq(0, 0, 2, 2, ccw=False), sq(0.5, 0.5, 1, 1)])
+    assert ring_area(out[0]) == pytest.approx(4.0, rel=1e-9)
+    assert ring_area(out[1]) == pytest.approx(-0.25, rel=1e-9)
+
+
+def test_make_valid_clean_passthrough():
+    out = make_valid([sq(0, 0, 1, 1)])
+    assert len(out) == 1
+    assert ring_area(out[0]) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_make_valid_duplicate_ring_cancels():
+    # even-odd: a ring listed twice covers nothing
+    out = make_valid([sq(0, 0, 1, 1), sq(0, 0, 1, 1)])
+    assert total_area(out) == pytest.approx(0.0, abs=1e-12)
+
+
+# ------------------------------------------------------- stress / property
+
+def test_union_random_squares_area_monotone():
+    rng = np.random.default_rng(42)
+    polys = []
+    for _ in range(12):
+        x0, y0 = rng.uniform(0, 5, 2)
+        w, h = rng.uniform(0.5, 2, 2)
+        polys.append([sq(x0, y0, x0 + w, y0 + h)])
+    out = union_many(polys)
+    a_union = total_area(out)
+    a_sum = sum(ring_area(p[0]) for p in polys)
+    a_max = max(ring_area(p[0]) for p in polys)
+    assert a_max - 1e-9 <= a_union <= a_sum + 1e-9
+    # vs a Monte-Carlo estimate on a fixed grid (deterministic)
+    xs = np.linspace(0.01, 7.0, 140)
+    ys = np.linspace(0.01, 7.0, 140)
+    gx, gy = np.meshgrid(xs, ys)
+    from tilemaker_spark.functions.geomnp import points_in_polygon
+    flat = np.zeros(gx.size, dtype=bool)
+    for p in polys:
+        flat |= points_in_polygon(gx.ravel(), gy.ravel(), p)
+    cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+    approx = flat.sum() * cell
+    assert a_union == pytest.approx(approx, rel=0.05)
+
+
+def test_intersection_random_pairs_match_grid():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        # concave hexagon vs rotated square
+        base = np.array([(0, 0), (4, 0), (4, 3), (2, 1.2), (0.5, 3), (0, 2)])
+        jit = base + rng.uniform(-0.2, 0.2, base.shape)
+        ang = rng.uniform(0, np.pi / 2)
+        c, s = np.cos(ang), np.sin(ang)
+        sqr = (np.array([(1, 1), (3, 1), (3, 3), (1, 3)]) - 2) @ \
+            np.array([[c, -s], [s, c]]) + 2
+        got = intersection_area([jit], [sqr])
+        xs = np.linspace(-0.5, 4.5, 220)
+        ys = np.linspace(-0.5, 4.5, 220)
+        gx, gy = np.meshgrid(xs, ys)
+        from tilemaker_spark.functions.geomnp import points_in_polygon
+        inside = (points_in_polygon(gx.ravel(), gy.ravel(), [jit])
+                  & points_in_polygon(gx.ravel(), gy.ravel(), [sqr]))
+        cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+        assert got == pytest.approx(inside.sum() * cell, abs=0.05)
+
+
+# ------------------------------------------- integration (A5 + G11 wiring)
+
+def test_polygon_combine_unions_overlap(spark):
+    """A5: two OVERLAPPING same-attr squares combine into ONE dissolved
+    ring (no interior double border) — true geometric union, not
+    multipolygon concat."""
+    import gzip
+    from tilemaker_spark.config import EngineConfig, LayerConfig
+    from tilemaker_spark.functions import mvt
+    from tilemaker_spark.functions.coords import lat2latp
+    from tilemaker_spark.operators.tile_assembly import assemble_tiles
+    from tilemaker_spark.operators.tiling import cover_explode
+
+    cfg = EngineConfig(basezoom=6, minzoom=6, maxzoom=6, compress="none",
+                       hot_tile_salt=0)
+    cfg.layers["lu"] = LayerConfig(name="lu", minzoom=0, maxzoom=14,
+                                   combine_polygons_below=7)
+
+    def sqr(x0, y0, d):
+        ring = []
+        for lon, lat in [(x0, y0), (x0 + d, y0), (x0 + d, y0 + d), (x0, y0 + d)]:
+            ring.extend([lon, lat2latp(lat)])
+        return [ring]
+
+    # inside one z6 tile: lon (16.875, 22.5), latp (0, 5.625)
+    rows = [
+        (1, "lu", 3, 0, 0, {"kind": "g"}, sqr(20.0, 0.2, 1.0)),
+        (2, "lu", 3, 0, 0, {"kind": "g"}, sqr(20.5, 0.7, 1.0)),  # overlaps 1
+    ]
+    feats = spark.createDataFrame(
+        rows, "feature_id long, layer string, geom_type int, min_zoom int, "
+              "z_order int, attrs map<string,string>, geom array<array<double>>")
+    ft = cover_explode(feats, 6)
+    tiles = assemble_tiles(ft, cfg).collect()
+    assert len(tiles) == 1
+    dec = mvt.decode_tile(bytes(tiles[0].tile))
+    fs = dec["lu"]["features"]
+    assert len(fs) == 1
+    rings = fs[0]["geom"]
+    assert len(rings) == 1  # overlapping outers dissolved into one ring
+    # union of two offset squares is an 8-vertex staircase octagon
+    assert len(rings[0]) == 8
+    # union area in tile coords: 2*A - overlap = 1.75 * A_square
+    a = abs(ring_area(np.asarray(rings[0], dtype=np.float64)))
+    # one square is ~1 deg = extent/360*... just check vs its own size:
+    # recompute a single square's quantized area from the encoded union
+    # bounding box (staircase union of unit squares: area/bbox = 7/9)
+    xs = [p[0] for p in rings[0]]
+    ys = [p[1] for p in rings[0]]
+    bbox_a = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    assert a == pytest.approx(bbox_a * 7.0 / 9.0, rel=0.02)
+
+
+def test_wkt_source_dissolves_bowtie(spark):
+    """G11: a self-intersecting WKT polygon is dissolved at scan time
+    into two clean outer rings."""
+    from tilemaker_spark.sources import read_wkt_layer
+    df = spark.createDataFrame(
+        [("bow", "POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))")], "name string, wkt string")
+    out = read_wkt_layer(df, "test").collect()
+    assert len(out) == 1
+    rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2)
+             for r in out[0].rings]
+    assert len(rings) == 2
+    areas = sorted(ring_area(r) for r in rings)
+    assert areas[0] == pytest.approx(0.25, rel=1e-9)
+    assert areas[1] == pytest.approx(0.25, rel=1e-9)
+
+
+def test_wkt_source_clean_polygon_unchanged(spark):
+    """G11: valid polygons pass through the dissolve pre-test untouched."""
+    from tilemaker_spark.sources import read_wkt_layer
+    df = spark.createDataFrame(
+        [("ok", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), (0.5 0.5, 0.5 1, 1 1, 1 0.5, 0.5 0.5))")],
+        "name string, wkt string")
+    out = read_wkt_layer(df, "test").collect()
+    rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2)
+             for r in out[0].rings]
+    assert len(rings) == 2
+    assert ring_area(rings[0]) == pytest.approx(4.0, rel=1e-9)
+    assert ring_area(rings[1]) == pytest.approx(-0.25, rel=1e-9)

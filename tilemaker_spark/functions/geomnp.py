@@ -355,6 +355,24 @@ def clip_ring_to_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
     return pts
 
 
+def ring_is_convex(ring: np.ndarray) -> bool:
+    """True when all turns of the (open) ring have the same sign
+    (collinear runs allowed) — the dispatch test between the fast
+    Sutherland-Hodgman area path and the general overlay kernel."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(r) > 1 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    if len(r) < 3:
+        return True
+    v = np.roll(r, -1, axis=0) - r
+    cross = v[:, 0] * np.roll(v[:, 1], -1) - v[:, 1] * np.roll(v[:, 0], -1)
+    scale = np.abs(cross).max()
+    if scale == 0:
+        return True
+    tol = scale * 1e-12
+    return bool((cross >= -tol).all() or (cross <= tol).all())
+
+
 def intersection_area_with_convex(parts: list, clip_ring: np.ndarray) -> float:
     """|geometry ∩ convex polygon| — AreaIntersecting analog
     (src/osm_lua_processing.cpp:435-453) for convex build polygons."""

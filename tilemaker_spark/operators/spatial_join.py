@@ -189,9 +189,11 @@ def area_intersecting_polygons(features: DataFrame, polygons: DataFrame,
     geometric intersection, plus the per-feature total over all matching
     polygons (reference src/osm_lua_processing.cpp:409-413, 435-453).
 
-    Build polygons must be convex (Sutherland-Hodgman clip); the fixture
-    checkerboard and typical admin boxes qualify. Prefilter: bbox
-    broadcast join (same plan as points_in_polygons). Returns
+    Build polygons may be ARBITRARY simple polygons (with holes):
+    single convex rings take the fast Sutherland-Hodgman path; concave
+    or multi-ring builds dispatch to the general overlay kernel
+    (functions.overlay.intersection_area). Prefilter: bbox broadcast
+    join (same plan as points_in_polygons). Returns
     (feature_id, name, inter_area) in (lon, latp) deg^2.
     """
     # polygon bboxes are in (lon, lat); features carry (lon, latp) — put
@@ -208,6 +210,8 @@ def area_intersecting_polygons(features: DataFrame, polygons: DataFrame,
             & (F.col("fy0") <= F.col("by1p")) & (F.col("fy1") >= F.col("by0p")))
     cand = fb.join(polyb, cond, "inner")
 
+    from tilemaker_spark.functions import overlay as OV
+
     @pandas_udf("double")
     def inter_area(geom: pd.Series, rings: pd.Series) -> pd.Series:
         out = np.zeros(len(geom))
@@ -220,7 +224,10 @@ def area_intersecting_polygons(features: DataFrame, polygons: DataFrame,
                 a = np.asarray(p, dtype=np.float64).reshape(-1, 2)
                 clip_np.append(np.column_stack([a[:, 0],
                                                 lat2latp_np(a[:, 1])]))
-            out[i] = G.intersection_area_with_convex(parts_np, clip_np[0])
+            if len(clip_np) == 1 and G.ring_is_convex(clip_np[0]):
+                out[i] = G.intersection_area_with_convex(parts_np, clip_np[0])
+            else:
+                out[i] = max(OV.intersection_area(parts_np, clip_np), 0.0)
         return pd.Series(out)
 
     return (cand

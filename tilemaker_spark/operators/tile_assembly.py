@@ -88,6 +88,42 @@ def _batch_prepare(pdf: pd.DataFrame, config: EngineConfig) -> pd.DataFrame:
     return pdf.drop(columns="_zo")
 
 
+# Above this many total vertices a combine group falls back to
+# multipolygon concat: the O(S^2) overlay split would dominate tile
+# time, and at that density the visual difference is sub-pixel.
+_UNION_VERTEX_CAP = 20000
+
+
+def _union_ring_groups(groups: list) -> list:
+    """A5/G12 — true geometric union of the per-feature ring groups of
+    one combine key (reference union_many, src/geom.cpp:150-169, used
+    by the polygon combine at src/tile_worker.cpp:350-361). Overlapping
+    outers dissolve into one ring (no double borders); disjoint ones
+    stay separate rings. Input/output rings are integer-quantized
+    [(x, y), ...] point lists."""
+    if len(groups) == 1:
+        return groups[0]
+    flat = [r for g in groups for r in g]
+    n_pts = sum(len(r) for r in flat)
+    if n_pts > _UNION_VERTEX_CAP:
+        return flat
+    from tilemaker_spark.functions import overlay as OV
+    try:
+        out = OV.union_many(
+            [[np.asarray(r, dtype=np.float64) for r in g] for g in groups])
+    except Exception:
+        return flat
+    rings = []
+    for r in out:
+        q = np.rint(r).astype(np.int64)
+        keep = np.ones(len(q), dtype=bool)
+        keep[1:] = (np.diff(q[:, 0]) != 0) | (np.diff(q[:, 1]) != 0)
+        q = q[keep]
+        if len(q) >= 3:
+            rings.append(list(zip(q[:, 0].tolist(), q[:, 1].tolist())))
+    return rings if rings else flat
+
+
 _OPT_COLS = ("attr_minzoom", "attrs_num", "attrs_bool")
 
 
@@ -245,9 +281,10 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
                 if not out_rings:
                     continue
                 if combine_polys_on:
-                    # A5 — combine compatible polygons (multipolygon merge)
+                    # A5 — collect per-feature ring lists; geometric
+                    # union happens once per group at emit below
                     key = (zo, tuple(attrs))
-                    combine_pg.setdefault(key, []).extend(out_rings)
+                    combine_pg.setdefault(key, []).append(out_rings)
                     continue
                 lb.add_feature(mvt.GEOM_POLYGON,
                                mvt.encode_polygon_geometry(out_rings),
@@ -278,7 +315,10 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
                                attrs=list(attrs_t), feature_id=None)
                 n_features += 1
 
-        for (zo, attrs_t), rings in combine_pg.items():
+        for (zo, attrs_t), ring_groups in combine_pg.items():
+            rings = _union_ring_groups(ring_groups)
+            if not rings:
+                continue
             lb.add_feature(mvt.GEOM_POLYGON,
                            mvt.encode_polygon_geometry(rings),
                            attrs=list(attrs_t), feature_id=None)

@@ -106,9 +106,13 @@ def _parse_wkt(wkt: str):
 
 
 def _orient_rings(geom_type: int, parts: list) -> list:
-    """Shapefile winding assembly (src/shp_processor.cpp:178-224):
-    make the first ring's orientation the outer convention; holes keep
-    the opposite sign. For robustness we force outer-positive."""
+    """G11 make_valid: shapefile winding assembly
+    (src/shp_processor.cpp:178-224) plus self-intersection dissolve
+    (src/geom.cpp:138-145, include/geometry/correct.hpp) — rings that
+    cross themselves or each other are re-extracted as clean simple
+    rings via the overlay kernel; then the first ring's orientation is
+    the outer convention, holes the opposite sign (outer forced
+    positive)."""
     if geom_type != G.GEOM_POLYGON or not parts:
         return parts
     out = []
@@ -120,6 +124,11 @@ def _orient_rings(geom_type: int, parts: list) -> list:
         out.append(r)
     if not out:
         return []
+    from tilemaker_spark.functions import overlay as OV
+    if OV.needs_dissolve(out):
+        dissolved = OV.make_valid(out)
+        if dissolved:
+            out = dissolved
     oriented = []
     first_sign = 1.0 if G.ring_area(out[0]) >= 0 else -1.0
     for i, r in enumerate(out):
