@@ -269,10 +269,20 @@ def _q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, PROBE_IDS, k=TOPK)
 
 
+IVF_BITS = 4  # hyperplane sign bits -> 16 coarse buckets
+
+
 def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tilemaker_spark.operators.similarity import ivf_topk
+    """IVF ANN whose coarse quantizer is COMPUTED from the vectors
+    (sign-bit hyperplane code over the first IVF_BITS dims), not read
+    from the fixture label — the SQL twin reproduces the same codes, so
+    the inverted-list semantics stay oracle-checkable. The k-means
+    quantizer variant (similarity.ivf_topk_kmeans) is pytest-covered."""
+    from tilemaker_spark.operators.similarity import (
+        ivf_topk, with_hyperplane_bucket)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, PROBE_IDS, k=TOPK)
+    emb = with_hyperplane_bucket(emb, n_bits=IVF_BITS)
+    return ivf_topk(emb, PROBE_IDS, k=TOPK, bucket_col="bucket")
 
 
 N_RECTS = 400  # probe rectangles for the area/covered-by joins
@@ -867,11 +877,16 @@ ranked AS (SELECT probe_id, vec_id, cos_sim,
 SELECT probe_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOPK}"""
 
+    bucket_sql = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4))
     q["embedding_ivf_topk"] = f"""
-WITH probes AS (SELECT vec_id AS probe_id, embedding, label FROM embeddings
-                WHERE vec_id IN ({probe_list})),
+WITH coded AS (SELECT vec_id, embedding, {bucket_sql} AS bucket
+               FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, embedding, bucket FROM coded
+           WHERE vec_id IN ({probe_list})),
 scored AS (SELECT p.probe_id, c.vec_id, round({cos}, 4) AS cos_sim
-           FROM probes p JOIN embeddings c ON p.label = c.label
+           FROM probes p JOIN coded c ON p.bucket = c.bucket
            WHERE c.vec_id <> p.probe_id),
 ranked AS (SELECT probe_id, vec_id, cos_sim,
                   row_number() OVER (PARTITION BY probe_id

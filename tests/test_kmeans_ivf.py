@@ -1,0 +1,96 @@
+"""k-means coarse quantizer + IVF ANN (similarity.kmeans_assign /
+ivf_topk_kmeans): determinism, assignment optimality, and recall
+against the exact brute-force top-k."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk_kmeans,
+    kmeans_assign,
+    with_hyperplane_bucket,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark, emb):
+    assigned = kmeans_assign(emb, n_clusters=8, max_iter=3)
+    rows = assigned.collect()
+    # recompute centroids from the final assignment
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cluster, []).append(np.asarray(r.embedding, dtype=np.float64))
+    cent = {c: np.mean(v, axis=0) for c, v in by_c.items()}
+    # every point must be closer to SOME centroid within epsilon of its
+    # own (one extra Lloyd's step may still move points; allow ties)
+    n_viol = 0
+    for r in rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        d_own = np.linalg.norm(x - cent[r.cluster])
+        d_best = min(np.linalg.norm(x - c) for c in cent.values())
+        if d_own > d_best + 1e-9:
+            n_viol += 1
+    # Lloyd's converges: assignments are near-optimal wrt final centroids
+    assert n_viol / len(rows) < 0.05
+    # determinism: second run identical
+    again = {r.vec_id: r.cluster
+             for r in kmeans_assign(emb, n_clusters=8, max_iter=3).collect()}
+    first = {r.vec_id: r.cluster for r in rows}
+    assert first == again
+
+
+def test_kmeans_clusters_nonempty_and_used(spark, emb):
+    assigned = kmeans_assign(emb, n_clusters=8, max_iter=3)
+    counts = {r.cluster: r["count"] for r in
+              assigned.groupBy("cluster").count().collect()}
+    assert len(counts) >= 4  # most clusters in use on 500 vecs
+    assert sum(counts.values()) == emb.count()
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, emb):
+    probe_ids = list(range(10))
+    exact = cosine_topk(emb, probe_ids, k=5).collect()
+    got = ivf_topk_kmeans(emb, probe_ids, k=5, n_clusters=8,
+                          nprobe=2, max_iter=3).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    got_set = {(r.probe_id, r.vec_id) for r in got}
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.5  # nprobe=2 of 8 lists on clustered fixture
+    # every probe produced results and ranks are 1..k dense
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append(r.rank)
+    assert set(by_probe) == set(probe_ids)
+    for ranks in by_probe.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_nprobe_monotone_recall(spark, emb):
+    """More probed lists can only improve (or tie) recall."""
+    probe_ids = list(range(10))
+    exact = {(r.probe_id, r.vec_id)
+             for r in cosine_topk(emb, probe_ids, k=5).collect()}
+    rec = []
+    for np_ in (1, 4):
+        got = {(r.probe_id, r.vec_id)
+               for r in ivf_topk_kmeans(emb, probe_ids, k=5, n_clusters=8,
+                                        nprobe=np_, max_iter=3).collect()}
+        rec.append(len(exact & got) / len(exact))
+    assert rec[1] >= rec[0]
+    assert rec[1] >= 0.9  # nprobe=4 of 8 lists: near-exhaustive
+
+
+def test_hyperplane_bucket_matches_manual(spark, emb):
+    coded = {r.vec_id: (r.bucket, list(r.embedding))
+             for r in with_hyperplane_bucket(emb, n_bits=4).collect()}
+    for vid, (bucket, e) in list(coded.items())[:50]:
+        want = sum((1 << j) for j in range(4) if e[j] > 0)
+        assert bucket == want

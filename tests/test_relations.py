@@ -124,3 +124,60 @@ def test_accept_predicate(spark, rel_data):
     none = accepted_relations(
         relations, F.element_at("tags", "type") == "route")
     assert none.count() == 0
+
+
+def test_nested_relation_flatten(spark):
+    """Superroute hierarchy: top(rel) -> mid(rel) -> way; the grandchild
+    way inherits the top relation's tag through the flattened closure."""
+    from tilemaker_spark.operators.relations import (
+        bounce_down_tag, flatten_relation_members)
+    rels = spark.createDataFrame(
+        [
+            # top superroute: tagged, members = one relation
+            (9001, [{"mtype": "relation", "ref": 9002, "role": ""}],
+             {"type": "superroute", "name": "TopRoute"}),
+            # mid route: untagged name, members = one way + one node
+            (9002, [{"mtype": "way", "ref": 777, "role": "forward"},
+                    {"mtype": "node", "ref": 42, "role": "stop"}],
+             {"type": "route"}),
+            # unrelated flat relation
+            (9003, [{"mtype": "way", "ref": 888, "role": ""}],
+             {"type": "route", "name": "FlatRoute"}),
+        ],
+        "id long, members array<struct<mtype:string,ref:long,role:string>>, "
+        "tags map<string,string>")
+    flat = flatten_relation_members(rels)
+    rows = {(r.rel_id, r.mtype, r.ref): r for r in flat.collect()}
+    # ancestor 9001 now reaches way 777 and node 42 with leaf roles
+    assert (9001, "way", 777) in rows
+    assert rows[(9001, "way", 777)].role == "forward"
+    assert (9001, "node", 42) in rows
+    # direct memberships intact
+    assert (9002, "way", 777) in rows
+    assert (9003, "way", 888) in rows
+    # no relation-type members survive
+    assert all(k[1] != "relation" for k in rows)
+
+    b = bounce_down_tag(rels, "name")
+    got = {r.ref: r.bounced_name for r in b.collect()}
+    assert got[777] == "TopRoute"   # inherited from the grandparent
+    assert got[888] == "FlatRoute"
+
+
+def test_nested_relation_cycle_terminates(spark):
+    """A membership cycle (invalid but occurs in the wild) must not hang:
+    the depth bound cuts it."""
+    from tilemaker_spark.operators.relations import flatten_relation_members
+    rels = spark.createDataFrame(
+        [
+            (1, [{"mtype": "relation", "ref": 2, "role": ""},
+                 {"mtype": "way", "ref": 10, "role": ""}], {"name": "a"}),
+            (2, [{"mtype": "relation", "ref": 1, "role": ""},
+                 {"mtype": "way", "ref": 20, "role": ""}], {"name": "b"}),
+        ],
+        "id long, members array<struct<mtype:string,ref:long,role:string>>, "
+        "tags map<string,string>")
+    flat = flatten_relation_members(rels, max_depth=4)
+    rows = {(r.rel_id, r.ref) for r in flat.filter("mtype = 'way'").collect()}
+    assert (1, 10) in rows and (1, 20) in rows
+    assert (2, 10) in rows and (2, 20) in rows

@@ -1,0 +1,110 @@
+"""Winnowing fingerprints: the vectorized table-lookup implementation
+must produce IDENTICAL fingerprints to the straightforward sequential
+Schleimer et al. algorithm (and be much faster)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from tilemaker_spark.operators.text_analysis import winnow_fingerprints
+
+B, M = 257, (1 << 61) - 1
+
+
+def _reference_winnow(s: str, k: int = 5, window: int = 4):
+    """Direct per-character implementation (the round-1 code path)."""
+    vals = np.frombuffer((s or "").encode("utf-8", "replace"), dtype=np.uint8)
+    if len(vals) < k:
+        return []
+    h = np.zeros(len(vals) - k + 1, dtype=np.int64)
+    cur = 0
+    for i in range(k):
+        cur = (cur * B + int(vals[i])) % M
+    h[0] = cur
+    top = pow(B, k - 1, M)
+    for i in range(1, len(h)):
+        cur = ((cur - int(vals[i - 1]) * top) * B + int(vals[i + k - 1])) % M
+        h[i] = cur
+    if len(h) <= window:
+        return [int(h.min())]
+    sel, prev = [], -1
+    for w0 in range(len(h) - window + 1):
+        win = h[w0:w0 + window]
+        j = w0 + int(len(win) - 1 - np.argmin(win[::-1]))
+        if j != prev:
+            sel.append(int(h[j]))
+            prev = j
+    seen, uniq = set(), []
+    for v in sel:
+        if v not in seen:
+            seen.add(v)
+            uniq.append(v)
+    return uniq
+
+
+CASES = [
+    "",
+    "abc",                      # shorter than k
+    "abcde",                    # exactly k
+    "aaaaaaaaaaaaaaaa",         # all ties -> rightmost-min dedup
+    "the quick brown fox jumps over the lazy dog " * 3,
+    "abcabcabcabcabcabc",       # periodic (hash collisions of equal grams)
+    "x" * 4 + "y" + "x" * 4,
+]
+
+
+def test_vectorized_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "doc_id long, text string")
+    got = {r.doc_id: list(r.fingerprints)
+           for r in winnow_fingerprints(df).collect()}
+    for i, t in enumerate(CASES):
+        assert got[i] == _reference_winnow(t), f"case {i}: {t[:30]!r}"
+
+
+def test_vectorized_matches_reference_random(spark):
+    rng = np.random.default_rng(3)
+    texts = ["".join(chr(int(c)) for c in rng.integers(32, 127, size=n))
+             for n in (50, 500, 5000) for _ in range(3)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: list(r.fingerprints)
+           for r in winnow_fingerprints(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _reference_winnow(t), f"random case {i}"
+
+
+def test_vectorized_throughput():
+    """The table-lookup kernel must beat the per-char loop by >= 5x on
+    a long document (driver-side micro-bench of the two kernels)."""
+    text = "lorem ipsum dolor sit amet " * 2000  # ~54 KB
+    t0 = time.perf_counter()
+    ref = _reference_winnow(text)
+    t_ref = time.perf_counter() - t0
+
+    # inline copy of the vectorized kernel (as in winnow_fingerprints)
+    from numpy.lib.stride_tricks import sliding_window_view
+    import pandas as pd
+    k, window = 5, 4
+    tables = np.array(
+        [[(v * pow(B, k - 1 - j, M)) % M for v in range(256)]
+         for j in range(k)], dtype=np.uint64)
+    t0 = time.perf_counter()
+    vals = np.frombuffer(text.encode(), dtype=np.uint8)
+    m = len(vals) - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc += tables[j][vals[j:j + m]]
+    h = (acc % np.uint64(M)).astype(np.int64)
+    W = sliding_window_view(h, window)[:, ::-1]
+    amin = W.argmin(axis=1)
+    j_sel = np.arange(len(W)) + (window - 1) - amin
+    keep = np.empty(len(j_sel), dtype=bool)
+    keep[0] = True
+    np.not_equal(j_sel[1:], j_sel[:-1], out=keep[1:])
+    vec = pd.unique(h[j_sel[keep]]).tolist()
+    t_vec = time.perf_counter() - t0
+
+    assert vec == ref
+    assert t_ref / max(t_vec, 1e-9) >= 5.0, (t_ref, t_vec)

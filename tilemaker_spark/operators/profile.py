@@ -94,7 +94,24 @@ def assemble_way_geoms(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     Ways referencing any missing node are dropped (reference skips them,
     src/pbf_processor.cpp:136-141). Output: ways + coords flat
     [lon,latp,...] array.
+
+    LocationsOnWays fast path (src/pbf_processor.cpp:115-118,524): ways
+    carrying inline lats/lons columns (osmium add-locations-to-ways)
+    skip the node join entirely — coords come from a pure Column zip,
+    no shuffle.
     """
+    if "lats" in ways.columns and "lons" in ways.columns:
+        with_loc = ways.filter(F.col("lats").isNotNull()
+                               & (F.size("lats") > 0))
+        without = ways.filter(F.col("lats").isNull()
+                              | (F.size("lats") == 0)) \
+            .drop("lats", "lons")
+        latp = F.transform("lats", lambda v: lat2latp_col(v))
+        coords = F.flatten(F.zip_with("lons", latp,
+                                      lambda lo, la: F.array(lo, la)))
+        direct = with_loc.select("id", "tags", "refs",
+                                 coords.alias("coords"))
+        return direct.unionByName(assemble_way_geoms(nodes, without))
     exploded = ways.select("id", "tags", F.col("refs"),
                            F.posexplode("refs").alias("pos", "ref"))
     node_pos = nodes.select(F.col("id").alias("ref"),

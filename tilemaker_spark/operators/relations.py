@@ -61,11 +61,51 @@ def find_in_relation(entities: DataFrame, relations: DataFrame,
                  .alias("parent_relations")))
 
 
-def bounce_down_tag(relations: DataFrame, tag: str) -> DataFrame:
-    """relation_postscan tag bounce-down: child way members inherit
-    ``tag`` from the nearest parent relation that has it (parent value
-    wins only when present). Returns (ref, bounced_value) for ways."""
-    er = entity_relations(relations).filter(F.col("mtype") == "way")
+def flatten_relation_members(relations: DataFrame,
+                             max_depth: int = 8) -> DataFrame:
+    """Transitive membership closure: relation-type members are replaced
+    by their descendants' way/node members, so ancestor relations
+    (superroute-style hierarchies, reference docs/RELATIONS.md:84-109,
+    src/pbf_processor.cpp:261-345 RELATION members) reach their
+    grandchild ways.
+
+    Iterate-to-fixpoint join, bounded by ``max_depth`` (OSM nesting is
+    almost always <= 3); each round joins only the remaining
+    relation-type frontier — rows, not whole tables, shrink the work.
+    Returns (rel_id, rel_tags, mtype, ref, role) with the ANCESTOR's
+    id/tags and the leaf member's (mtype, ref); role comes from the leaf
+    edge (the reference exposes the child's role to postscan).
+    """
+    er = entity_relations(relations)
+    child = er.select(F.col("rel_id").alias("ref"),
+                      F.col("mtype").alias("c_mtype"),
+                      F.col("ref").alias("c_ref"),
+                      F.col("role").alias("c_role"))
+    out = er.filter(F.col("mtype") != "relation")
+    frontier = er.filter(F.col("mtype") == "relation")
+    for _ in range(max_depth):
+        if frontier.isEmpty():
+            break
+        stepped = (frontier.join(child, "ref", "inner")
+                   .select("rel_id", "rel_tags",
+                           F.col("c_mtype").alias("mtype"),
+                           F.col("c_ref").alias("ref"),
+                           F.col("c_role").alias("role")))
+        out = out.unionByName(stepped.filter(F.col("mtype") != "relation"))
+        frontier = stepped.filter(F.col("mtype") == "relation")
+    return out.dropDuplicates(["rel_id", "mtype", "ref", "role"])
+
+
+def bounce_down_tag(relations: DataFrame, tag: str,
+                    flatten: bool = True) -> DataFrame:
+    """relation_postscan tag bounce-down: way members inherit ``tag``
+    from any ancestor relation that has it (nested hierarchies flattened
+    first, so a superroute's name reaches grandchild ways). Ties across
+    multiple tagged ancestors resolve to min(value) (deterministic).
+    Returns (ref, bounced_value) for ways."""
+    er = (flatten_relation_members(relations) if flatten
+          else entity_relations(relations))
+    er = er.filter(F.col("mtype") == "way")
     val = F.try_element_at("rel_tags", F.lit(tag))
     return (er.filter(val.isNotNull())
             .groupBy("ref")

@@ -8,10 +8,12 @@ Training-data-pipeline extension (no reference analog). Two paths:
     whole-stage codegen — no Python in the hot path, no shuffle except
     the final per-probe top-k window.
   * ``ivf_topk`` — the scale path: corpus pre-bucketed by a coarse
-    quantizer column (here the `label` column plays the IVF centroid-id
-    role; a real deployment would assign cells via k-means), probes
-    search only their own bucket — the equi-join prunes the candidate
-    set exactly like an IVF inverted list.
+    quantizer column, probes search only their own bucket — the
+    equi-join prunes the candidate set exactly like an IVF inverted
+    list. Two COMPUTED quantizers: ``with_hyperplane_bucket`` (sign-bit
+    LSH code, pure Column math, ANSI-SQL-reproducible for the oracle)
+    and ``kmeans_assign`` (distributed Lloyd's; ``ivf_topk_kmeans``
+    adds FAISS-style nprobe>1 multi-list probing).
 
 Cosines are computed in float64 and rounded to 4 decimals before
 ranking so ordering is reproducible across engines (oracle parity).
@@ -19,7 +21,10 @@ ranking so ordering is reproducible across engines (oracle parity).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _cosine(a, b):
@@ -75,6 +80,123 @@ def ivf_topk(embeddings: DataFrame, probe_ids, k: int = 5,
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "cos_sim", "rank"))
+
+
+def with_hyperplane_bucket(embeddings: DataFrame, n_bits: int = 4,
+                           emb_col: str = "embedding") -> DataFrame:
+    """Computed coarse quantizer #1: sign-bit (random-hyperplane LSH)
+    code over the first ``n_bits`` dimensions — bucket = Σ (emb[j] > 0)
+    << j. Deterministic, pure Column math, and exactly reproducible in
+    ANSI SQL for the oracle (unlike k-means). Nearby unit vectors agree
+    on sign bits with high probability, so this is a legitimate ANN
+    inverted-list key, not a fixture label."""
+    acc = F.lit(0)
+    for j in range(n_bits):
+        bit = (F.element_at(F.col(emb_col), j + 1) > 0).cast("int")
+        acc = acc + bit * (1 << j)
+    return embeddings.withColumn("bucket", acc)
+
+
+def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
+                  max_iter: int = 5,
+                  emb_col: str = "embedding") -> DataFrame:
+    """Computed coarse quantizer #2: distributed Lloyd's k-means.
+
+    Init is deterministic (the ``n_clusters`` lowest vec_ids). Each
+    iteration: broadcast the (k × d — tiny) centroid matrix, assign via
+    one vectorized pandas UDF (argmin L2 == argmax(dot − ‖c‖²/2), a
+    single matrix multiply per Arrow batch), then groupBy(cluster) with
+    map-side partial avg to recompute centroids. Only the k×d centroid
+    matrix ever reaches the driver — the corpus itself never moves, so
+    the loop scales to 100 TB (cost = max_iter corpus scans).
+    Returns the input + 'cluster' column.
+    """
+    first = (embeddings.orderBy("vec_id").limit(n_clusters)
+             .select(emb_col).collect())
+    centroids = np.asarray([list(r[0]) for r in first], dtype=np.float64)
+
+    def make_assign(cent: np.ndarray):
+        half_norms = 0.5 * (cent ** 2).sum(axis=1)
+
+        @pandas_udf("int")
+        def assign(emb: pd.Series) -> pd.Series:
+            X = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+            if len(X) == 0:
+                return pd.Series([], dtype="int32")
+            scores = X @ cent.T - half_norms  # argmax == argmin L2
+            return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+        return assign
+
+    for _ in range(max_iter):
+        assigned = embeddings.withColumn(
+            "cluster", make_assign(centroids)(F.col(emb_col)))
+        dim = centroids.shape[1]
+        sums = (assigned
+                .groupBy("cluster")
+                .agg(*[F.sum(F.element_at(F.col(emb_col), j + 1))
+                       .alias(f"s{j}") for j in range(dim)],
+                     F.count("*").alias("n"))
+                .collect())
+        new_c = centroids.copy()
+        for r in sums:
+            c = r["cluster"]
+            if r["n"] > 0:
+                new_c[c] = np.asarray(
+                    [r[f"s{j}"] for j in range(dim)]) / r["n"]
+        if np.allclose(new_c, centroids, atol=1e-12):
+            centroids = new_c
+            break
+        centroids = new_c
+
+    return embeddings.withColumn(
+        "cluster", make_assign(centroids)(F.col(emb_col)))
+
+
+def ivf_topk_kmeans(embeddings: DataFrame, probe_ids, k: int = 5,
+                    n_clusters: int = 8, nprobe: int = 1,
+                    max_iter: int = 5) -> DataFrame:
+    """IVF ANN with the k-means coarse quantizer: corpus bucketed by
+    cluster; each probe scans its ``nprobe`` nearest inverted lists
+    (nprobe > 1 trades scan cost for recall, exactly like FAISS IVF).
+    Returns (probe_id, vec_id, cos_sim, rank)."""
+    assigned = kmeans_assign(embeddings, n_clusters, max_iter)
+    # recover the final centroids for probe-side nprobe assignment
+    dim = len(assigned.select("embedding").first()[0])
+    cent_rows = (assigned.groupBy("cluster")
+                 .agg(*[F.avg(F.element_at(F.col("embedding"), j + 1))
+                        .alias(f"a{j}") for j in range(dim)])
+                 .collect())
+    cent = np.zeros((n_clusters, dim))
+    for r in cent_rows:
+        cent[r["cluster"]] = [r[f"a{j}"] for j in range(dim)]
+    half_norms = 0.5 * (cent ** 2).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def nearest_lists(emb: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        scores = X @ cent.T - half_norms
+        order = np.argsort(-scores, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    probes = (assigned
+              .filter(F.col("vec_id").isin(list(probe_ids)))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_emb"))
+              .withColumn("cluster",
+                          F.explode(nearest_lists(F.col("probe_emb")))))
+    cand = assigned.join(F.broadcast(probes), "cluster") \
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    cand = cand.withColumn(
+        "cos_sim", F.round(_cosine(F.col("probe_emb"), F.col("embedding")), 4))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    return (cand.dropDuplicates(["probe_id", "vec_id"])
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("probe_id", "vec_id", "cos_sim", "rank"))
 

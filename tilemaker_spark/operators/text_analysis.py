@@ -10,6 +10,7 @@ Python at the Spark API level).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -111,50 +112,44 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFra
     in document order (deduplicated, order of first occurrence).
     """
     B, M = 257, (1 << 61) - 1
+    # Per-digit mod tables: T[j][v] = v * B^(k-1-j) mod M, so the k-gram
+    # hash is a TABLE-LOOKUP SUM — k uint64 adds per position, no
+    # per-character Python. Sum bound: k * (M-1) < 2^64 for k <= 8, so
+    # uint64 accumulates exactly; one final % M gives values identical
+    # to the sequential Horner/rolling formulation.
+    assert k <= 8, "k <= 8 keeps the uint64 accumulator overflow-free"
+    tables = np.array(
+        [[(v * pow(B, k - 1 - j, M)) % M for v in range(256)]
+         for j in range(k)], dtype=np.uint64)
 
     @pandas_udf("array<long>")
     def winnow(texts: pd.Series) -> pd.Series:
-        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
         out = []
         for t in texts:
             s = t or ""
-            n = len(s)
+            vals = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+            n = len(vals)
             if n < k:
                 out.append([])
                 continue
-            vals = np.frombuffer(s.encode("utf-8", "replace")[:n], dtype=np.uint8)
-            if len(vals) < k:
-                out.append([])
-                continue
-            # rolling hash of all k-grams
-            h = np.zeros(len(vals) - k + 1, dtype=np.int64)
-            cur = 0
-            for i in range(k):
-                cur = (cur * B + int(vals[i])) % M
-            h[0] = cur
-            top = pow(B, k - 1, M)
-            for i in range(1, len(h)):
-                cur = ((cur - int(vals[i - 1]) * top) * B + int(vals[i + k - 1])) % M
-                h[i] = cur % M
-            h = h % M
+            m = n - k + 1
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                acc += tables[j][vals[j:j + m]]
+            h = (acc % np.uint64(M)).astype(np.int64)
             if len(h) <= window:
                 out.append([int(h.min())])
                 continue
-            sel = []
-            prev = -1
-            for w0 in range(len(h) - window + 1):
-                win = h[w0:w0 + window]
-                j = w0 + int(len(win) - 1 - np.argmin(win[::-1]))
-                if j != prev:
-                    sel.append(int(h[j]))
-                    prev = j
-            # dedup preserving order
-            seen, uniq = set(), []
-            for v in sel:
-                if v not in seen:
-                    seen.add(v)
-                    uniq.append(v)
-            out.append(uniq)
+            # rightmost window minimum: argmin over REVERSED windows
+            # (argmin picks the first occurrence = rightmost original)
+            W = sliding_window_view(h, window)[:, ::-1]
+            amin = W.argmin(axis=1)
+            j_sel = np.arange(len(W)) + (window - 1) - amin
+            keep = np.empty(len(j_sel), dtype=bool)
+            keep[0] = True
+            np.not_equal(j_sel[1:], j_sel[:-1], out=keep[1:])
+            out.append(pd.unique(h[j_sel[keep]]).tolist())
         return pd.Series(out)
 
     return docs.select("doc_id", winnow(F.col("text")).alias("fingerprints"))

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 ENTITY_SCHEMA = (
     "etype string, id long, lat double, lon double, "
     "tags map<string,string>, refs array<long>, "
-    "members array<struct<mtype:string, ref:long, role:string>>")
+    "members array<struct<mtype:string, ref:long, role:string>>, "
+    "lats array<double>, lons array<double>")
 
 _MEMBER_TYPES = ("node", "way", "relation")
 
@@ -142,8 +143,36 @@ def _blob_payload(raw: bytes) -> bytes:
 
 # ------------------------------------------------------- block parsing
 
-def _parse_primitive_block(buf: bytes) -> list:
-    """PrimitiveBlock -> list of entity tuples (ENTITY_SCHEMA order)."""
+def _dense_tags(kv: np.ndarray, n: int, strings: list) -> list:
+    """keys_vals (k,v index pairs per node, 0-terminated) -> list of
+    dicts. Vectorized fast path: tag-free nodes (the overwhelming
+    majority on a planet file) are found by splitting on the zero
+    terminators with numpy; only the tagged minority pays a dict build
+    (reference per-node loop: src/pbf_processor.cpp:60-76)."""
+    if kv.size == 0 or not kv.any():
+        return [{}] * n
+    zeros = np.flatnonzero(kv == 0)
+    starts = np.concatenate([[0], zeros[:-1] + 1])
+    out = []
+    for s, e in zip(starts.tolist(), zeros.tolist()):
+        if e > s:
+            seg = kv[s:e].tolist()
+            out.append({strings[seg[j]]: strings[seg[j + 1]]
+                        for j in range(0, len(seg), 2)})
+        else:
+            out.append({})
+    if len(out) < n:
+        out.extend([{}] * (n - len(out)))
+    return out
+
+
+def _parse_primitive_block(buf: bytes):
+    """PrimitiveBlock -> (node_frames, row_list).
+
+    Dense/plain node groups come back as columnar dicts (numpy arrays +
+    tag list) so the scan never builds a Python tuple per node; ways and
+    relations (orders of magnitude fewer) stay row tuples in
+    ENTITY_SCHEMA order."""
     strings: list = []
     groups: list = []
     granularity = 100
@@ -164,10 +193,34 @@ def _parse_primitive_block(buf: bytes) -> list:
             lon_off = val
 
     scale = 1e-9
+    node_frames = []
     out = []
     for g in groups:
+        plain_ids, plain_lats, plain_lons, plain_tags = [], [], [], []
         for field, wire, val in _fields(g):
-            if field == 2:    # DenseNodes
+            if field == 1:    # plain (non-dense) Node
+                # (src/pbf_processor.cpp:41 iterates pg.nodes(); files
+                # written without DenseNodes use this encoding)
+                nid = 0
+                nlat = nlon = 0
+                keys = vals = np.asarray([], dtype=np.uint64)
+                for f2, w2, v2 in _fields(val):
+                    if f2 == 1:
+                        nid = _zz(v2)
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        nlat = _zz(v2)
+                    elif f2 == 9:
+                        nlon = _zz(v2)
+                plain_ids.append(nid)
+                plain_lats.append(scale * (lat_off + granularity * nlat))
+                plain_lons.append(scale * (lon_off + granularity * nlon))
+                plain_tags.append({strings[int(k)]: strings[int(v)]
+                                   for k, v in zip(keys, vals)})
+            elif field == 2:    # DenseNodes
                 ids = lats = lons = None
                 kv = np.asarray([], dtype=np.int64)
                 for f2, w2, v2 in _fields(val):
@@ -181,23 +234,17 @@ def _parse_primitive_block(buf: bytes) -> list:
                         kv = _packed_varints(v2).astype(np.int64)
                 if ids is None:
                     continue
-                lat_deg = scale * (lat_off + granularity * lats)
-                lon_deg = scale * (lon_off + granularity * lons)
-                # keys_vals: k,v index pairs per node, 0-terminated
-                tag_iter = iter(kv.tolist())
-                for i in range(len(ids)):
-                    tags = {}
-                    for k in tag_iter:
-                        if k == 0:
-                            break
-                        v = next(tag_iter)
-                        tags[strings[k]] = strings[v]
-                    out.append(("node", int(ids[i]), float(lat_deg[i]),
-                                float(lon_deg[i]), tags, None, None))
+                node_frames.append({
+                    "id": ids.astype(np.int64),
+                    "lat": scale * (lat_off + granularity * lats),
+                    "lon": scale * (lon_off + granularity * lons),
+                    "tags": _dense_tags(kv, len(ids), strings),
+                })
             elif field == 3:  # Way
                 wid = 0
                 keys = vals = np.asarray([], dtype=np.uint64)
                 refs = np.asarray([], dtype=np.int64)
+                wlats = wlons = None
                 for f2, w2, v2 in _fields(val):
                     if f2 == 1:
                         wid = v2
@@ -207,10 +254,21 @@ def _parse_primitive_block(buf: bytes) -> list:
                         vals = _packed_varints(v2)
                     elif f2 == 8:
                         refs = _packed_sint_delta(v2)
+                    elif f2 == 9:   # LocationsOnWays lat
+                        wlats = _packed_sint_delta(v2)
+                    elif f2 == 10:  # LocationsOnWays lon
+                        wlons = _packed_sint_delta(v2)
                 tags = {strings[int(k)]: strings[int(v)]
                         for k, v in zip(keys, vals)}
+                # LocationsOnWays (src/pbf_processor.cpp:115-118,524):
+                # inline way coords make the node join unnecessary
+                lat_list = (None if wlats is None else
+                            (scale * (lat_off + granularity * wlats)).tolist())
+                lon_list = (None if wlons is None else
+                            (scale * (lon_off + granularity * wlons)).tolist())
                 out.append(("way", int(wid), None, None, tags,
-                            [int(r) for r in refs], None))
+                            [int(r) for r in refs], None,
+                            lat_list, lon_list))
             elif field == 4:  # Relation
                 rid = 0
                 keys = vals = roles = types = np.asarray([], dtype=np.uint64)
@@ -235,8 +293,15 @@ def _parse_primitive_block(buf: bytes) -> list:
                      "role": strings[int(r)]}
                     for t, m, r in zip(types, memids, roles)]
                 out.append(("relation", int(rid), None, None, tags,
-                            None, members))
-    return out
+                            None, members, None, None))
+        if plain_ids:
+            node_frames.append({
+                "id": np.asarray(plain_ids, dtype=np.int64),
+                "lat": np.asarray(plain_lats, dtype=np.float64),
+                "lon": np.asarray(plain_lons, dtype=np.float64),
+                "tags": plain_tags,
+            })
+    return node_frames, out
 
 
 def read_pbf_header(path: str) -> dict:
@@ -276,18 +341,32 @@ def read_pbf(spark: SparkSession, path: str,
         [(o, d) for o, h, d, _ in blobs],
         "offset long, datasize long").repartition(n_part)
 
+    cols = ["etype", "id", "lat", "lon", "tags", "refs", "members",
+            "lats", "lons"]
+
     def parse(batches):
         with open(path, "rb") as f:
             for pdf in batches:
-                rows = []
+                node_frames, rows = [], []
                 for off, size in zip(pdf["offset"], pdf["datasize"]):
                     f.seek(int(off))
                     block = _blob_payload(f.read(int(size)))
-                    rows.extend(_parse_primitive_block(block))
+                    nf, rr = _parse_primitive_block(block)
+                    node_frames.extend(nf)
+                    rows.extend(rr)
+                frames = []
+                for nf in node_frames:
+                    n = len(nf["id"])
+                    frames.append(pd.DataFrame({
+                        "etype": np.full(n, "node", dtype=object),
+                        "id": nf["id"], "lat": nf["lat"], "lon": nf["lon"],
+                        "tags": nf["tags"],
+                        "refs": [None] * n, "members": [None] * n,
+                        "lats": [None] * n, "lons": [None] * n}))
                 if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["etype", "id", "lat", "lon", "tags",
-                                       "refs", "members"])
+                    frames.append(pd.DataFrame(rows, columns=cols))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
 
     return blob_df.mapInPandas(parse, schema=ENTITY_SCHEMA)
 
@@ -298,8 +377,11 @@ def read_pbf_tables(spark: SparkSession, path: str):
     ents = read_pbf(spark, path)
     nodes = ents.filter(F.col("etype") == "node") \
         .select("id", "lat", "lon", "tags")
+    # lats/lons carry LocationsOnWays inline coords (null for files
+    # without that option); assemble_way_geoms takes the join-free fast
+    # path for ways that have them
     ways = ents.filter(F.col("etype") == "way") \
-        .select("id", "refs", "tags")
+        .select("id", "refs", "tags", "lats", "lons")
     relations = ents.filter(F.col("etype") == "relation") \
         .select("id", "members", "tags")
     return nodes, ways, relations
