@@ -1,59 +1,56 @@
-"""Physical-plan quality gates — regressions in pushdown/broadcast
-behavior fail CI, not just the judge's eyeball."""
-
-import io
-import re
-from contextlib import redirect_stdout
+"""Plan-quality assertions: the physical plans of scale-critical paths
+must not regress into driver-side materialization or lost parallelism."""
 
 import pytest
+from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.01"
-
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from tilemaker_spark.config import EngineConfig, LayerConfig
+from tilemaker_spark.fixtures import make_pages
+from tilemaker_spark.operators.profile import features_from_pages
+from tilemaker_spark.operators.tile_assembly import assemble_tiles_salted
+from tilemaker_spark.operators.tiling import cover_explode
 
 
-@pytest.fixture(scope="module")
-def queries():
-    import __spark_entry__ as entrymod
-    return entrymod.queries()
+def test_salted_assembly_no_driver_collect_of_features(spark):
+    """The hot-key set must stay a DataFrame (broadcast join), never a
+    collect()ed LocalTableScan of feature-derived rows: at planet scale
+    millions of hot keys would flow through the driver."""
+    cfg = EngineConfig(basezoom=6, minzoom=6, maxzoom=6, compress="none",
+                       hot_tile_salt=4, hot_tile_threshold=10)
+    cfg.layers["pages"] = LayerConfig(name="pages", minzoom=0, maxzoom=14)
+    feats = features_from_pages(make_pages(spark, 500)).drop("url", "text")
+    ft = cover_explode(feats, 6)
+    tiles = assemble_tiles_salted(ft, cfg, num_partitions=8)
+    plan = tiles._jdf.queryExecution().executedPlan().toString()
+    # feature-derived inputs must come from scans/exchanges, never a
+    # driver-materialized local table (the round-1 collect() anti-pattern)
+    assert "LocalTableScan" not in plan, plan[:2000]
+    # the hot/cold split is driven by broadcast joins
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # and the result is still correct / complete
+    n = tiles.count()
+    assert n > 0
 
 
-def test_way_join_broadcasts_and_pushes(spark, queries):
-    plan = _plan(queries["way_join_agg"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan          # small orders side broadcast
-    assert re.search(r"PushedFilters: \[(?!\])", plan)  # filter reached scan
-    # column pruning: lineitem scan reads 3 of 11 columns
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m and len(m.group(1).split(",")) <= 4
-
-
-def test_semi_join_stays_semi(spark, queries):
-    plan = _plan(queries["semi_join_reduction"](spark, SF_DIR))
-    assert "LeftSemi" in plan
-    assert "CartesianProduct" not in plan
-
-
-def test_pip_join_broadcasts_dim(spark, queries):
-    plan = _plan(queries["spatial_join_pip"](spark, SF_DIR))
-    # polygon dim broadcast: the big probe side must not shuffle for the join
-    assert re.search(r"Broadcast(NestedLoop|Hash)Join", plan)
-    assert "SortMergeJoin" not in plan
-
-
-def test_agg_partial_final(spark, queries):
-    plan = _plan(queries["agg_pushdown"](spark, SF_DIR))
-    # map-side combine: two HashAggregates around one exchange
-    assert len(re.findall(r"HashAggregate", plan)) >= 2
-    assert re.search(r"PushedFilters: \[(?!\])", plan)
-
-
-def test_embedding_topk_no_full_cartesian(spark, queries):
-    plan = _plan(queries["embedding_topk"](spark, SF_DIR))
-    # probes broadcast; no unpartitioned cartesian of the corpus
-    assert "CartesianProduct" not in plan
-    assert re.search(r"Broadcast(NestedLoop|Hash)Join", plan)
+def test_bbox_filter_lands_before_assembly_shuffle(spark):
+    """F6: the (z,x,y) range predicate must appear below the Exchange
+    that feeds the mapInPandas encode — pruned tiles never shuffle."""
+    from tilemaker_spark.operators.tile_assembly import assemble_tiles
+    from tilemaker_spark.operators.tiling import bbox_tile_filter
+    cfg = EngineConfig(basezoom=6, minzoom=6, maxzoom=6, compress="none",
+                       hot_tile_salt=0)
+    cfg.layers["pages"] = LayerConfig(name="pages", minzoom=0, maxzoom=14)
+    feats = features_from_pages(make_pages(spark, 200)).drop("url", "text")
+    ft = cover_explode(feats, 6)
+    ft = bbox_tile_filter(ft, (-75.0, 39.8, -73.0, 41.5))
+    tiles = assemble_tiles(ft, cfg, num_partitions=8)
+    plan = tiles._jdf.queryExecution().executedPlan().toString()
+    # the tile-range predicate (folded by Catalyst to "... / 360.0) *
+    # 2^z" comparisons at the literal basezoom) must appear BELOW the
+    # repartition exchange in the printed tree — i.e. later in the
+    # top-down string — so pruned tiles never enter the shuffle
+    epos = plan.find("Exchange")
+    ppos = plan.rfind("/ 360.0")
+    assert epos != -1, plan[:1500]
+    assert ppos != -1, "bbox predicate missing from the physical plan"
+    assert ppos > epos, "bbox filter must sit on the scan side of the shuffle"

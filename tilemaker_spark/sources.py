@@ -273,3 +273,156 @@ def probe_bbox(layer_df: DataFrame, rings_col: str = "rings") -> tuple:
     row = per_row.agg(F.min("x0").alias("a"), F.min("y0").alias("b"),
                       F.max("x1").alias("c"), F.max("y1").alias("d")).first()
     return (row.a, row.b, row.c, row.d)
+
+
+# ----------------------------------------------- binary shapefile (S3)
+
+_SHP_POINT, _SHP_POLYLINE, _SHP_POLYGON, _SHP_MULTIPOINT = 1, 3, 5, 8
+_SHP_TYPE_MAP = {_SHP_POINT: G.GEOM_POINT, _SHP_MULTIPOINT: G.GEOM_POINT,
+                 _SHP_POLYLINE: G.GEOM_LINE, _SHP_POLYGON: G.GEOM_POLYGON}
+
+
+def _scan_shp_records(path: str) -> list:
+    """Driver planning pass (mirrors sources_pbf.scan_blobs): walk the
+    .shp record headers only — (record_no, offset, content_bytes) per
+    record, a seek + 8 bytes each, no geometry parsing."""
+    import os
+    import struct
+    recs = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(100)  # fixed 100-byte file header (ESRI whitepaper p.3)
+        pos = 100
+        while pos + 8 <= size:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            recno, words = struct.unpack(">ii", hdr)
+            recs.append((recno, pos + 8, words * 2))
+            pos += 8 + words * 2
+            f.seek(pos)
+    return recs
+
+
+def _parse_shp_geometry(buf: bytes):
+    """One .shp record content -> (geom_type, rings flat-list) or None
+    for null shapes. Layout per the ESRI shapefile whitepaper."""
+    import struct
+    stype = struct.unpack_from("<i", buf, 0)[0]
+    if stype == 0:
+        return None
+    if stype == _SHP_POINT:
+        x, y = struct.unpack_from("<dd", buf, 4)
+        return G.GEOM_POINT, [[x, y]]
+    if stype == _SHP_MULTIPOINT:
+        n = struct.unpack_from("<i", buf, 36)[0]
+        pts = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=40)
+        return G.GEOM_POINT, [pts.tolist()]
+    if stype in (_SHP_POLYLINE, _SHP_POLYGON):
+        nparts, npts = struct.unpack_from("<ii", buf, 36)
+        parts = np.frombuffer(buf, dtype="<i4", count=nparts, offset=44)
+        pts = np.frombuffer(buf, dtype="<f8", count=2 * npts,
+                            offset=44 + 4 * nparts).reshape(-1, 2)
+        bounds = list(parts) + [npts]
+        rings = [pts[bounds[i]:bounds[i + 1]].reshape(-1).tolist()
+                 for i in range(nparts)
+                 if bounds[i + 1] > bounds[i]]
+        return _SHP_TYPE_MAP[stype], rings
+    raise ValueError(f"unsupported shape type {stype}")
+
+
+def _read_dbf_fields(path: str):
+    """DBF (dBASE III) header -> (n_records, header_size, record_size,
+    [(name, type, length), ...])."""
+    import struct
+    with open(path, "rb") as f:
+        head = f.read(32)
+        n_rec, hdr_size, rec_size = struct.unpack_from("<ihh", head, 4)
+        fields = []
+        while True:
+            fd = f.read(32)
+            if not fd or fd[0] == 0x0D:
+                break
+            name = fd[:11].split(b"\x00")[0].decode("ascii", "replace")
+            ftype = chr(fd[11])
+            flen = fd[16]
+            fields.append((name, ftype, flen))
+    return n_rec, hdr_size, rec_size, fields
+
+
+def _decode_dbf_record(buf: bytes, fields) -> dict:
+    out = {}
+    pos = 1  # skip deletion flag
+    for name, ftype, flen in fields:
+        raw = buf[pos:pos + flen]
+        pos += flen
+        v = raw.decode("latin-1").strip()
+        out[name] = v
+    return out
+
+
+def read_shapefile(spark: SparkSession, shp_path: str, layer: str,
+                   name_column: str | None = None,
+                   source_columns: list | None = None,
+                   chunk_records: int = 4096) -> DataFrame:
+    """S3 — REAL binary .shp + .dbf scan (reference shapelib reader,
+    src/shp_processor.cpp:110-279), Spark-first:
+
+      1. the driver walks only the .shp record headers (8 bytes each) to
+         build a record index — the same planning pass as the PBF blob
+         scan;
+      2. record ranges become a DataFrame; executors parse their range's
+         geometry (numpy frombuffer — no per-point Python) and the
+         corresponding fixed-width .dbf rows via mapInPandas.
+
+    source_columns projects DBF attributes (F9); name_column feeds the
+    `name` output column (defaults to the first DBF field). Polygon ring
+    winding is normalized through _orient_rings (G11 dissolve included).
+    """
+    dbf_path = shp_path[:-4] + ".dbf"
+    recs = _scan_shp_records(shp_path)
+    n_rec, hdr_size, rec_size, fields = _read_dbf_fields(dbf_path)
+    field_names = [f[0] for f in fields]
+    name_col = name_column or (field_names[0] if field_names else None)
+    attr_cols = (source_columns if source_columns is not None
+                 else [c for c in field_names if c != name_col])
+
+    chunks = [(i, min(i + chunk_records, len(recs)))
+              for i in range(0, len(recs), chunk_records)] or [(0, 0)]
+    rec_index = [r for r in recs]  # (recno, offset, length)
+    chunk_df = spark.createDataFrame(chunks, "lo int, hi int")
+
+    def parse(batches):
+        with open(shp_path, "rb") as fs, open(dbf_path, "rb") as fd:
+            for pdf in batches:
+                rows = []
+                for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                    for i in range(int(lo), int(hi)):
+                        recno, off, ln = rec_index[i]
+                        fs.seek(off)
+                        g = _parse_shp_geometry(fs.read(ln))
+                        if g is None:
+                            continue
+                        gt, rings = g
+                        if i < n_rec:
+                            fd.seek(hdr_size + i * rec_size)
+                            attrs_all = _decode_dbf_record(
+                                fd.read(rec_size), fields)
+                        else:
+                            attrs_all = {}
+                        nm = attrs_all.get(name_col, str(recno)) \
+                            if name_col else str(recno)
+                        if gt == G.GEOM_POLYGON:
+                            rings = _orient_rings(gt, rings)
+                        rows.append((layer, nm, int(gt), rings,
+                                     {k: attrs_all.get(k, "")
+                                      for k in attr_cols}))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["layer", "name", "geom_type",
+                                       "rings", "attrs"])
+
+    n_parts = max(1, min(len(chunks),
+                         spark.sparkContext.defaultParallelism))
+    return chunk_df.repartition(n_parts).mapInPandas(
+        parse, schema=LAYER_SCHEMA)
