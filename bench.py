@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_score",
     "embedding_topk",
+    "embedding_ivf_topk",
+    "winnow_fingerprints",
+    "area_join_concave",
 ]
 
 
@@ -87,16 +90,29 @@ def main() -> None:
     n_pages = int(os.environ.get(
         "SPARK_GRAFT_BENCH_PAGES", max(10_000, int(PAGES_PER_SF * sf))))
 
-    if "--scaling" in sys.argv:
-        # BASELINE.md protocol: same job at local[8] vs local[32], identical
-        # input; efficiency computed on the tile-producing stage's wall
-        # time (the compute stage — the fixed driver/stage-setup overhead
-        # of a 100k-page sandbox run is not what scales with executors).
+    if "--scaling" in sys.argv or "--scaling-slots" in sys.argv:
+        # BASELINE.md protocol: same job at two parallelism levels,
+        # identical input; efficiency computed on the tile-producing
+        # stage's wall time (the compute stage — fixed driver/stage-setup
+        # overhead of a sandbox run is not what scales with executors).
+        #
+        # --scaling:       local[lo] vs local[hi], task.cpus=1 (the
+        #                  classic pair; hi=32 oversubscribes: k JVM
+        #                  threads + k Python workers on 32 cores).
+        # --scaling-slots: task.cpus=2 at BOTH levels, so local[8] = 4
+        #                  slots and local[32] = 16 slots — a TRUE 4x
+        #                  slot pair whose high level still fits in the
+        #                  32 physical cores (16 tasks + 16 Python
+        #                  workers). This is the uncontended top-end
+        #                  evidence the north rule's N->4N gate wants.
+        slots_mode = "--scaling-slots" in sys.argv
         lo, hi = (int(v) for v in os.environ.get(
             "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
+        task_cpus = 2 if slots_mode else 1
         results = {}
         for cpus in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                       SPARK_GRAFT_TASK_CPUS=str(task_cpus),
                        SPARK_GRAFT_BENCH_PAGES=str(4 * n_pages))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--e2e-only"],
@@ -112,11 +128,15 @@ def main() -> None:
         report = {f"local{lo}": results[lo]["e2e"],
                   f"local{hi}": results[hi]["e2e"],
                   "levels": [lo, hi],
+                  "task_cpus": task_cpus,
+                  "slots": [lo // task_cpus, hi // task_cpus],
                   "scaling_efficiency": round(eff, 3),
                   "scaling_efficiency_total_wall": round(eff_total, 3),
                   "sf": sf}
         os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/scaling.json", "w") as f:
+        out_name = "BENCH/scaling_slots.json" if slots_mode \
+            else "BENCH/scaling.json"
+        with open(out_name, "w") as f:
             json.dump(report, f, indent=1)
         print(json.dumps(report))
         return

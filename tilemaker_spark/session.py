@@ -54,6 +54,12 @@ def get_spark(app_name: str = "tilemaker_spark", master: str | None = None,
         # ANSI off: the engine relies on wraparound-free integer hashing
         # expressions that must evaluate identically to the DuckDB oracle
         .config("spark.sql.ansi.enabled", "false")
+        # SPARK_GRAFT_TASK_CPUS > 1 reserves N cores per task slot —
+        # used by the scaling benchmark to build UNCONTENDED local[k]
+        # pairs (k JVM task threads + k Python workers must stay <=
+        # physical cores, so slots = k / task.cpus)
+        .config("spark.task.cpus",
+                os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
     )
     spark = builder.getOrCreate()
     _ship_package(spark)
