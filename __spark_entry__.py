@@ -285,6 +285,22 @@ def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, PROBE_IDS, k=TOPK, bucket_col="bucket")
 
 
+NEARDUP_COS = 0.6  # cosine threshold for the embedding near-dup pairs
+
+
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within computed hyperplane
+    buckets (the 100-TB shape: bucket equi-join bounds the pair space;
+    no all-pairs cross join). Fully SQL-checkable."""
+    from tilemaker_spark.operators.similarity import (
+        embedding_dedup_pairs, with_hyperplane_bucket)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = with_hyperplane_bucket(emb, n_bits=IVF_BITS)
+    out = embedding_dedup_pairs(emb, threshold=NEARDUP_COS,
+                                bucket_col="bucket")
+    return out.select("vec_a", "vec_b", "cos_sim")
+
+
 N_RECTS = 400  # probe rectangles for the area/covered-by joins
 
 # rect i (axis-aligned, overlapping the checkerboard):
@@ -586,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "embedding_topk": _q_embed_topk,
         "embedding_ivf_topk": _q_embed_ivf,
+        "embedding_neardup": _q_embed_neardup,
         "area_join": _q_area_join,
         "area_join_concave": _q_area_join_concave,
         "covered_by_join": _q_covered_by,
@@ -880,6 +897,17 @@ FROM ranked WHERE rank <= {TOPK}"""
     bucket_sql = " + ".join(
         f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(4))
+    cos_ab = ("list_dot_product(a.embedding, b.embedding) / "
+              "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+              "sqrt(list_dot_product(b.embedding, b.embedding)))")
+    q["embedding_neardup"] = f"""
+WITH coded AS (SELECT vec_id, embedding, {bucket_sql} AS bucket
+               FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cos_ab}, 4) AS cos_sim
+FROM coded a JOIN coded b ON a.bucket = b.bucket
+WHERE a.vec_id < b.vec_id
+  AND round({cos_ab}, 4) >= {NEARDUP_COS}"""
     q["embedding_ivf_topk"] = f"""
 WITH coded AS (SELECT vec_id, embedding, {bucket_sql} AS bucket
                FROM embeddings),

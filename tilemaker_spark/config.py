@@ -111,6 +111,12 @@ class EngineConfig:
     shuffle_partitions: int = 32
     hot_tile_salt: int = 8  # salt fan-out for skewed (z,x,y) groups
     hot_tile_threshold: int = 5000  # features per tile before salting
+    # hierarchical cover+clip (the clip-cache recast, tiling.
+    # cover_clip_explode): same tile assignments, per-tile pieces
+    # pre-clipped top-down so deep zoom ranges stop re-clipping the full
+    # geometry per tile. Opt-in: ring vertex ROTATION can differ from
+    # the flat path (same region), so byte-pinned goldens stay on flat.
+    hierarchical_clip: bool = False
 
     @property
     def extent(self) -> int:

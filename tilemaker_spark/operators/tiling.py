@@ -47,26 +47,33 @@ def point_tiles(features: DataFrame, zoom: int) -> DataFrame:
         .withColumn("y", latp2tiley_col(latp, zoom))
 
 
+def _cover_tiles(gt: int, parts_np: list, zoom: int) -> set:
+    """The flat cover-tile set of one geometry at one zoom, including
+    the reference's large-object bbox semantics (shared by the flat
+    cover_explode UDF and the hierarchical descent, so both paths
+    assign features to IDENTICAL tile sets)."""
+    tiles, bbox = G.cover_geometry(gt, parts_np, zoom)
+    if bbox is not None:
+        minx, miny, maxx, maxy = bbox
+        n = (maxx - minx + 1) * (maxy - miny + 1)
+        if n <= LARGE_BBOX_TILE_CAP:
+            # reference large-object semantics: every bbox tile
+            return {(x, y) for x in range(minx, maxx + 1)
+                    for y in range(miny, maxy + 1)}
+        # fall back to the exact filled cover (recompute)
+        tiles = set()
+        for outer, _ in G.iter_polygons(parts_np):
+            tiles |= G.fill_covered_tiles(G.supercover_tiles(outer, zoom))
+    return set(tiles)
+
+
 def _cover_udf(zoom: int):
     @pandas_udf("array<array<long>>")
     def cover(geom_type: pd.Series, geom: pd.Series) -> pd.Series:
         out = []
         for gt, parts in zip(geom_type, geom):
             parts_np = [np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in parts]
-            tiles, bbox = G.cover_geometry(int(gt), parts_np, zoom)
-            if bbox is not None:
-                minx, miny, maxx, maxy = bbox
-                n = (maxx - minx + 1) * (maxy - miny + 1)
-                if n <= LARGE_BBOX_TILE_CAP:
-                    # reference large-object semantics: every bbox tile
-                    out.append([[x, y]
-                                for x in range(minx, maxx + 1)
-                                for y in range(miny, maxy + 1)])
-                    continue
-                # fall back to the exact filled cover (recompute)
-                tiles = set()
-                for outer, _ in G.iter_polygons(parts_np):
-                    tiles |= G.fill_covered_tiles(G.supercover_tiles(outer, zoom))
+            tiles = _cover_tiles(int(gt), parts_np, zoom)
             out.append([[t[0], t[1]] for t in sorted(tiles)])
         return pd.Series(out)
     return cover
@@ -92,6 +99,103 @@ def cover_explode(features: DataFrame, zoom: int) -> DataFrame:
                  .withColumn("y", F.element_at("_t", 2))
                  .drop("_tiles", "_t"))
     return out_pts.unionByName(out_other)
+
+
+def cover_clip_explode(features: DataFrame, minzoom: int, basezoom: int,
+                       hires: bool = False) -> DataFrame:
+    """Hierarchical cover + clip — the Spark-native recast of the
+    reference's clip cache (include/clip_cache.h:21-70,
+    src/tile_data.cpp:250-349).
+
+    The flat path (cover_explode + ancestor_rollup) re-clips the FULL
+    geometry at every (z, x, y) during assembly: for a V-vertex polygon
+    covering T deep-zoom tiles that is O(V·T) clip work. Here each
+    line/polygon feature runs ONE top-down quadtree descent inside an
+    Arrow batch: the piece clipped at zoom z feeds the four children at
+    z+1, so per-tile clip cost shrinks with the subtree — O(V·log T +
+    output). The recursion stack plays the reference's cross-thread
+    clip cache, with no shared mutable state: features are independent,
+    so the stage stays embarrassingly parallel and shuffle-free.
+
+    Output: one row per (feature, z, x, y) for ALL z in [minzoom,
+    basezoom], with `geom` replaced by the tile-local piece clipped to
+    that tile's keep box (the same box assembly clips to — its re-clip
+    then finds every vertex already inside and emits the same bytes).
+    Membership is EXACTLY the flat path's: the basezoom cover (same
+    supercover walk, same large-object bbox semantics via _cover_tiles)
+    rolled up to each ancestor zoom — only the clipping is
+    hierarchical, so tile assignments are identical row-for-row.
+
+    Points keep the existing codegen path (clipping a point is free).
+    """
+    from tilemaker_spark.functions.coords import TileBbox
+
+    pts = point_tiles(features.filter(F.col("geom_type") == 1), basezoom)
+    pts = ancestor_rollup(pts, minzoom, basezoom)
+
+    other = features.filter(F.col("geom_type") != 1)
+    in_cols = other.columns
+    gi = in_cols.index("geom")
+    ti = in_cols.index("geom_type")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in other.schema.fields
+    ) + ", z int, x long, y long"
+
+    def descend_rows(batches):
+        def clip_piece(gt, parts, box):
+            if gt == G.GEOM_LINE:
+                runs = []
+                for p in parts:
+                    runs.extend(G.clip_line_to_box(p, box))
+                return runs
+            return G.clip_polygon_to_box(parts, box)
+
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                gt = int(row[ti])
+                parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                         for p in row[gi]]
+                if not parts:
+                    continue
+                # membership = EXACTLY the flat path's: the basezoom
+                # cover (same walk, same large-object bbox semantics)
+                # rolled up to each ancestor zoom. Only the CLIPPING is
+                # hierarchical — the descent shares parent pieces.
+                base_cover = _cover_tiles(gt, parts, basezoom)
+                if not base_cover:
+                    continue
+                member = {basezoom: base_cover}
+                for z in range(basezoom - 1, minzoom - 1, -1):
+                    member[z] = {(x >> 1, y >> 1) for x, y in member[z + 1]}
+                base = list(row)
+                stack = [(minzoom, x, y, parts)
+                         for x, y in member[minzoom]]
+                while stack:
+                    z, x, y, piece = stack.pop()
+                    bbox = TileBbox(z, x, y, hires=hires)
+                    # keep exactly what assembly will clip to: lines use
+                    # the wide extend box (±2 tile widths), polygons the
+                    # 0.5%-margin clip box. Both nest: child box ⊂
+                    # parent box, so the descent never loses content.
+                    keep_box = (bbox.extend_box() if gt == G.GEOM_LINE
+                                else bbox.clipping_box)
+                    buffered = clip_piece(gt, piece, keep_box)
+                    rec = list(base)
+                    rec[gi] = [p.reshape(-1).tolist() for p in buffered]
+                    out_rows.append(tuple(rec) + (z, x, y))
+                    if z < basezoom:
+                        nxt = member[z + 1]
+                        for dx in (0, 1):
+                            for dy in (0, 1):
+                                cx, cy = 2 * x + dx, 2 * y + dy
+                                if (cx, cy) in nxt:
+                                    stack.append((z + 1, cx, cy, buffered))
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=in_cols + ["z", "x", "y"])
+
+    out_other = other.mapInPandas(descend_rows, schema=out_schema)
+    return pts.unionByName(out_other)
 
 
 def ancestor_rollup(feature_tiles: DataFrame, minzoom: int, basezoom: int,

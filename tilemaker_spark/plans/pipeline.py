@@ -152,8 +152,15 @@ class TilePipeline:
         feats = self._checkpoint(feats, "features", force=force)
 
         # Stage 2 — feature_tiles at basezoom + rollup + gates
-        ft = cover_explode(feats, cfg.basezoom)
-        ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
+        if cfg.hierarchical_clip:
+            # clip-cache recast: identical tile assignments, pieces
+            # pre-clipped top-down (see tiling.cover_clip_explode)
+            from tilemaker_spark.operators.tiling import cover_clip_explode
+            ft = cover_clip_explode(feats, cfg.minzoom, cfg.basezoom,
+                                    hires=cfg.high_resolution)
+        else:
+            ft = cover_explode(feats, cfg.basezoom)
+            ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
         layer_zooms = {name: (lc.minzoom, lc.maxzoom)
                        for name, lc in cfg.layers.items()}
         ft = zoom_gates(ft, layer_zooms)
