@@ -263,6 +263,24 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.text_analysis import bpe_token_count
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
+def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed per-tile counts, exercised through Spark's
+    unified batch/streaming API (same plan both ways; the streaming
+    path with watermark + availableNow is pytest-covered)."""
+    from tilemaker_spark.fixtures import pages_from_documents
+    from tilemaker_spark.streaming.windowed import windowed_tile_counts
+    pages = pages_from_documents(spark, sf_dir)
+    out = windowed_tile_counts(pages, zoom=TILE_Z)
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_epoch"),
+        "z", "x", "y", "n_pages", "min_doc")
+
+
 def _q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilemaker_spark.operators.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -599,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
+        "bpe_token_count": _q_bpe_tokens,
+        "stream_window_counts": _q_stream_window,
         "lang_id": _q_lang_id,
         "embedding_topk": _q_embed_topk,
         "embedding_ivf_topk": _q_embed_ivf,
@@ -863,6 +883,32 @@ SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
               + 0.2 * (1.0 - ns / nt), 6) >= 0.5
         AND nt >= 20 AND round(ns / nt, 6) <= 0.4) AS keep
 FROM m"""
+
+    # BPE-ish pre-tokenizer pieces: RE2-safe alternation, identical
+    # semantics in Java regex (Spark) and RE2 (DuckDB)
+    bpe_re = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]+"
+    q["bpe_token_count"] = f"""
+WITH m AS (SELECT doc_id, text,
+                  len(regexp_extract_all(text, '{bpe_re}')) AS nb,
+                  len(string_split(text, ' ')) AS nw
+           FROM documents)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bpe_tokens,
+       CAST(nw AS BIGINT) AS n_ws_tokens,
+       round(CAST(length(text) AS DOUBLE) / greatest(nb, 1), 6)
+           AS chars_per_token
+FROM m"""
+
+    # pages warc_ts = 2024-01-01T00:00:00Z + doc_id seconds (fixtures):
+    # 10-minute tumbling windows align to epoch multiples of 600
+    _epoch0 = 1704067200
+    q["stream_window_counts"] = f"""
+WITH geo AS (SELECT doc_id, {sql_lon('doc_id')} AS lon,
+                    {sql_lat('doc_id')} AS lat FROM documents)
+SELECT (({_epoch0} + doc_id) // 600) * 600 AS win_epoch,
+       {TILE_Z} AS z,
+       {sql_tile_x('lon', TILE_Z)} AS x, {sql_tile_y('lat', TILE_Z)} AS y,
+       count(*) AS n_pages, min(doc_id) AS min_doc
+FROM geo GROUP BY 1, 3, 4"""
 
     lang_cases = []
     for lang, markers in [("en", ["the", "is", "and"]),

@@ -91,3 +91,37 @@ def test_exactly_once_across_restart(spark, dirs):
     q.awaitTermination(120)
     _, n_feat_2 = _total_features(spark, workdir)
     assert n_feat_2 == n_feat_1  # checkpoint prevented double-processing
+
+
+def test_windowed_tile_counts_streaming(spark, tmp_path_factory):
+    """Real readStream run of the watermarked windowed aggregation:
+    append mode emits only watermark-finalized windows, and the result
+    matches the batch run of the same transformation."""
+    import os
+    from tilemaker_spark.fixtures import make_pages
+    from tilemaker_spark.streaming.windowed import windowed_tile_counts
+
+    d = tmp_path_factory.mktemp("wstream")
+    src = str(d / "pages")
+    os.makedirs(src)
+    pages = make_pages(spark, 2000)
+    pages.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream
+              .schema(pages.schema)
+              .parquet(src))
+    agg = windowed_tile_counts(stream, zoom=6, window="10 minutes",
+                               watermark="5 minutes")
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.win_epoch if hasattr(r, "win_epoch") else r.win_start,
+            r.x, r.y): (r.n_pages, r.min_doc)
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+
+    batch = windowed_tile_counts(pages, zoom=6, window="10 minutes")
+    want = {(r.win_start, r.x, r.y): (r.n_pages, r.min_doc)
+            for r in batch.collect()}
+    assert got == want
+    assert len(want) > 10

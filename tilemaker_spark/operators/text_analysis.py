@@ -39,6 +39,29 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer classes, RE2-safe (no lookaheads, so the
+# Java-regex Spark side and the RE2 DuckDB oracle agree exactly):
+# a letter run, a digit run, or a punctuation run; whitespace separates.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """BPE-ish token accounting per document (training-data budgeting):
+    pre-tokenizer piece count via one JVM-side regexp_count — the
+    standard proxy for tokenizer load before running a real BPE merge
+    table. Returns (doc_id, n_bpe_tokens, n_ws_tokens,
+    chars_per_token) with the ratio rounded to 6 (oracle parity)."""
+    n_bpe = F.regexp_count("text", F.lit(BPE_TOKEN_RE))
+    n_ws = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(F.length("text") / F.greatest(n_bpe, F.lit(1)), 6)
+        .alias("chars_per_token"),
+    )
+
+
 def quality_score(docs: DataFrame, min_tokens: int = 20,
                   max_stop_ratio: float = 0.4) -> DataFrame:
     """Heuristic quality score per document.
