@@ -154,12 +154,22 @@ class TilePipeline:
         # Stage 2 — feature_tiles at basezoom + rollup + gates
         if cfg.hierarchical_clip:
             # clip-cache recast: identical tile assignments, pieces
-            # pre-clipped top-down (see tiling.cover_clip_explode)
+            # pre-clipped top-down (see tiling.cover_clip_explode) —
+            # per-zoom pieces genuinely differ, so the checkpoint holds
+            # every zoom's rows
             from tilemaker_spark.operators.tiling import cover_clip_explode
             ft = cover_clip_explode(feats, cfg.minzoom, cfg.basezoom,
                                     hires=cfg.high_resolution)
+            ft = self._checkpoint(ft, "feature_tiles", force=force)
         else:
+            # checkpoint ONLY the basezoom assignment: the ancestor
+            # rollup is deterministic shift math, so re-deriving it
+            # after the read costs a few codegen ops while the
+            # checkpoint shrinks ~(basezoom - minzoom)x — at planet
+            # scale that is the difference between writing the base
+            # cover once and writing it once per zoom level
             ft = cover_explode(feats, cfg.basezoom)
+            ft = self._checkpoint(ft, "feature_tiles", force=force)
             ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
         layer_zooms = {name: (lc.minzoom, lc.maxzoom)
                        for name, lc in cfg.layers.items()}
@@ -175,7 +185,6 @@ class TilePipeline:
         max_below = max((lc.feature_limit_below for lc in cfg.layers.values()), default=0)
         if max_limit:
             ft = apply_feature_limit(ft, max_limit, max_below)
-        ft = self._checkpoint(ft, "feature_tiles", force=force)
 
         # Stage 3 — per-tile assembly -> tiles (salted two-phase when the
         # config enables hot-tile salting: city-center skew defense)
