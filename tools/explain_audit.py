@@ -24,7 +24,8 @@ AUDIT = [
     "tile_assign_points", "zoom_rollup", "spatial_join_pip", "knn_hot",
     "way_join_agg", "topk_per_group", "semi_join_reduction", "agg_pushdown",
     "dedup_minhash_lsh", "embedding_topk", "embedding_ivf_topk",
-    "area_join_concave", "tiles_e2e_bbox",
+    "area_join_concave", "tiles_e2e_bbox", "bpe_token_count",
+    "stream_window_counts", "embedding_neardup",
 ]
 
 
