@@ -197,3 +197,31 @@ def test_hierarchical_matches_flat_monaco(spark):
         assert _norm(t_hier[key]) == _norm(t_flat[key]), key
         n_checked += 1
     assert n_checked >= 10
+
+
+def test_pipeline_hierarchical_config(spark, tmp_path_factory):
+    """EngineConfig.hierarchical_clip drives Stage 2 through the descent
+    path end-to-end (checkpoint + resume + same tile count as flat)."""
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.fixtures import make_pages, make_nodes_ways
+    from tilemaker_spark.operators.profile import features_from_ways
+    from tilemaker_spark.plans.pipeline import TilePipeline
+
+    pages = make_pages(spark, 500)
+    nodes, ways = make_nodes_ways(spark)
+
+    outs = {}
+    for flag in (False, True):
+        cfg = default_config()
+        cfg.basezoom = 10
+        cfg.hierarchical_clip = flag
+        wd = str(tmp_path_factory.mktemp(f"hier_{flag}"))
+        pipe = TilePipeline(spark, cfg, workdir=wd)
+        tiles = pipe.run(pages, nodes=nodes, ways=ways, force=True)
+        outs[flag] = {(r.z, r.x, r.y): r.n_features for r in tiles.collect()}
+        # resume works on the new layout
+        pipe2 = TilePipeline(spark, cfg, workdir=wd)
+        t2 = pipe2.run(pages, nodes=nodes, ways=ways)
+        assert pipe2.metrics["stages"]["tiles"].get("resumed") is True
+        assert t2.count() == len(outs[flag])
+    assert outs[True] == outs[False]
