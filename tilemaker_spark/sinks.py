@@ -276,14 +276,21 @@ def write_pmtiles(tiles: DataFrame, path: str,
     return n_addressed
 
 
-def read_pmtiles(spark, path: str) -> DataFrame:
-    """Read back a root-directory PMTiles archive into a tiles DF."""
+def read_pmtiles(spark, path: str, chunk_tiles: int = 20_000) -> DataFrame:
+    """Read back a root-directory PMTiles archive into a tiles DF.
+
+    Scale path (mirrors read_mbtiles): the driver reads only the 127-
+    byte header + the gzip'd root directory (KBs even for millions of
+    entries), builds a (z, x, y, offset, length) index DataFrame, and
+    executors fetch their tile byte ranges with seek+read — the tile
+    DATA never flows through the driver."""
     with open(path, "rb") as f:
-        buf = f.read()
-    assert buf[0:7] == _PM_MAGIC and buf[7] == _PM_VERSION
-    (root_off, root_len, _mo, _ml, _lo, _ll, data_off, _dl) = struct.unpack_from(
-        "<QQQQQQQQ", buf, 8)
-    d = gzip.decompress(buf[root_off:root_off + root_len])
+        header = f.read(127)
+        assert header[0:7] == _PM_MAGIC and header[7] == _PM_VERSION
+        (root_off, root_len, _mo, _ml, _lo, _ll, data_off, _dl) = \
+            struct.unpack_from("<QQQQQQQQ", header, 8)
+        f.seek(root_off)
+        d = gzip.decompress(f.read(root_len))
     pos = 0
 
     def rv():
@@ -313,12 +320,30 @@ def read_pmtiles(spark, path: str) -> DataFrame:
         off = prev_off + prev_len if v == 0 else v - 1
         offs.append(off)
         prev_off, prev_len = off, lens[i]
-    rows = []
+    index = []
     for tid, rl, ln, off in zip(tids, rls, lens, offs):
         for k in range(rl):
             z, x, y = tileid_to_zxy(tid + k)
-            rows.append((z, x, y, bytes(buf[data_off + off:data_off + off + ln])))
-    return spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+            index.append((z, x, y, data_off + off, ln))
+    if not index:
+        return spark.createDataFrame([], "z int, x long, y long, tile binary")
+    idx_df = spark.createDataFrame(
+        index, "z int, x long, y long, off long, ln long")
+
+    def fetch(batches):
+        with open(path, "rb") as f:
+            for pdf in batches:
+                tiles = []
+                for off, ln in zip(pdf["off"], pdf["ln"]):
+                    f.seek(int(off))
+                    tiles.append(f.read(int(ln)))
+                out = pdf[["z", "x", "y"]].copy()
+                out["tile"] = tiles
+                yield out
+
+    n_parts = max(1, min((len(index) + chunk_tiles - 1) // chunk_tiles, 32))
+    return (idx_df.repartition(n_parts)
+            .mapInPandas(fetch, schema="z int, x long, y long, tile binary"))
 
 
 def tileid_to_zxy(tid: int):
