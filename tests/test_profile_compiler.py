@@ -85,3 +85,50 @@ def test_monaco_with_declarative_profile(spark):
     assert {"roads", "buildings"} <= layers
     pois = compile_node_profile(EXAMPLE_PROFILE)(nodes)
     assert pois.count() > 10
+
+
+def test_layer_as_centroid_emitter(spark):
+    """LayerAsCentroid: a closed building way emits ONE point feature at
+    its centroid (and polylabel stays inside a concave ring)."""
+    from tilemaker_spark.functions.coords import lat2latp
+    from tilemaker_spark.functions import geomnp as G
+    from tilemaker_spark.operators.profile_compiler import compile_way_profile
+    import numpy as np
+
+    # assembled-way rows: square building + concave L landuse
+    sq = []
+    for lon, lat in [(10.0, 40.0), (10.2, 40.0), (10.2, 40.2),
+                     (10.0, 40.2), (10.0, 40.0)]:
+        sq.extend([lon, lat2latp(lat)])
+    L = []
+    for lon, lat in [(20.0, 40.0), (20.3, 40.0), (20.3, 40.1),
+                     (20.1, 40.1), (20.1, 40.3), (20.0, 40.3),
+                     (20.0, 40.0)]:
+        L.extend([lon, lat2latp(lat)])
+    rows = [
+        (1, {"building": "yes", "name": "sq"}, [1, 2, 3, 4, 1], sq),
+        (2, {"landuse": "forest"}, [5, 6, 7, 8, 9, 10, 5], L),
+    ]
+    assembled = spark.createDataFrame(
+        rows, "id long, tags map<string,string>, refs array<long>, "
+              "coords array<double>")
+    rules = [
+        {"match": {"building": "*"}, "geometry": "centroid",
+         "emit": {"layer": "building_labels", "min_zoom": 12,
+                  "attrs": {"name": "$name"}}},
+        {"match": {"landuse": "*"}, "geometry": "centroid",
+         "algorithm": "polylabel",
+         "emit": {"layer": "landuse_labels", "attrs": {}}},
+    ]
+    feats = {r.feature_id: r for r in
+             compile_way_profile(rules)(assembled).collect()}
+    b = feats[1]
+    assert b.layer == "building_labels" and b.geom_type == 1
+    cx, cy = b.geom[0]
+    assert cx == pytest.approx(10.1, abs=1e-9)
+    assert cy == pytest.approx(lat2latp(40.1), abs=1e-3)
+    assert b.attrs["name"] == "sq"
+    # polylabel point must be INSIDE the concave L (bbox center is not)
+    lx, ly = feats[2].geom[0]
+    ring = np.asarray(L, dtype=np.float64).reshape(-1, 2)
+    assert G.point_in_ring(lx, ly, ring[:-1])

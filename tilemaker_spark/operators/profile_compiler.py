@@ -31,15 +31,41 @@ Rule schema::
     }
 
 Closed ways are polygons when the rule's geometry is 'polygon'
-(area semantics, Layer(name, true)).
+(area semantics, Layer(name, true)); ``"geometry": "centroid"`` is the
+LayerAsCentroid emitter (reference src/osm_lua_processing.cpp:707-751):
+a closed way emits ONE point feature at its shoelace centroid, or the
+pole of inaccessibility with ``"algorithm": "polylabel"``.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-_GEOM_CODE = {"point": 1, "line": 2, "polygon": 3}
+from tilemaker_spark.functions import geomnp as G
+
+_GEOM_CODE = {"point": 1, "line": 2, "polygon": 3, "centroid": 1}
+
+
+def _centroid_udf(algo: str):
+    """LayerAsCentroid geometry: ring flat-coords -> [[cx, cy]] point."""
+
+    @pandas_udf("array<array<double>>")
+    def cent(rings: pd.Series) -> pd.Series:
+        out = []
+        for flat in rings:
+            a = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+            if algo == "polylabel":
+                cx, cy = G.polylabel_xy([a])
+            else:
+                cx, cy = G.centroid_xy([a], G.GEOM_POLYGON)
+            out.append([[float(cx), float(cy)]])
+        return pd.Series(out)
+
+    return cent
 
 
 def _match_predicate(match: dict, tags: Column) -> Column:
@@ -120,6 +146,11 @@ def compile_way_profile(rules: list):
             if geom_kind == "polygon":
                 pred = pred & is_closed
                 geom = F.array(ring_coords)
+            elif geom_kind == "centroid":
+                # LayerAsCentroid: closed way -> one labeled point
+                pred = pred & is_closed
+                geom = _centroid_udf(rule.get("algorithm", "centroid"))(
+                    ring_coords)
             elif geom_kind == "line":
                 pred = pred & ~is_closed
                 geom = F.array(F.col("coords"))
