@@ -181,3 +181,50 @@ def test_nested_relation_cycle_terminates(spark):
     rows = {(r.rel_id, r.ref) for r in flat.filter("mtype = 'way'").collect()}
     assert (1, 10) in rows and (1, 20) in rows
     assert (2, 10) in rows and (2, 20) in rows
+
+
+def test_route_relation_merged_lines(spark):
+    """relation_function for routes: member ways chain into one line;
+    disconnected members stay separate parts."""
+    from tilemaker_spark.functions.coords import lat2latp
+    from tilemaker_spark.operators.relations import (
+        RELATION_ID_OFFSET, features_from_route_relations)
+
+    def way(wid, pts, refs):
+        return (wid, refs, {})
+
+    nodes_rows = []
+    nid = 1
+    coords = {}
+    for lon, lat in [(0.0, 40.0), (0.1, 40.0), (0.2, 40.05),
+                     (0.3, 40.1), (1.0, 41.0), (1.1, 41.0)]:
+        nodes_rows.append((nid, lat, lon, {}))
+        coords[nid] = (lon, lat)
+        nid += 1
+    nodes = spark.createDataFrame(
+        nodes_rows, "id long, lat double, lon double, tags map<string,string>")
+    ways = spark.createDataFrame(
+        [
+            (100, [1, 2], {}),       # chainable
+            (101, [2, 3], {}),       # chainable (shares node 2)
+            (102, [3, 4], {}),       # chainable (shares node 3)
+            (103, [5, 6], {}),       # disconnected spur
+        ], "id long, refs array<long>, tags map<string,string>")
+    rels = spark.createDataFrame(
+        [(7000,
+          [{"mtype": "way", "ref": w, "role": ""} for w in (100, 101, 102, 103)],
+          {"type": "route", "route": "hiking", "ref": "E1", "name": "Trail"})],
+        "id long, members array<struct<mtype:string,ref:long,role:string>>, "
+        "tags map<string,string>")
+
+    feats = features_from_route_relations(rels, ways, nodes).collect()
+    assert len(feats) == 1
+    f = feats[0]
+    assert f.feature_id == 7000 + RELATION_ID_OFFSET
+    assert f.layer == "routes" and f.geom_type == 2
+    assert f.attrs["route"] == "hiking" and f.attrs["ref"] == "E1"
+    parts = [list(p) for p in f.geom]
+    # three chainable ways merged into ONE part + the spur = 2 parts
+    assert len(parts) == 2
+    lens = sorted(len(p) // 2 for p in parts)
+    assert lens == [2, 4]  # spur has 2 points, chained line has 4

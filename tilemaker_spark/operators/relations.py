@@ -200,6 +200,69 @@ def assemble_multipolygons(relations: DataFrame, ways: DataFrame,
     return assembled
 
 
+def assemble_route_lines(relations: DataFrame, ways: DataFrame,
+                         nodes: DataFrame) -> DataFrame:
+    """relation_function for NON-multipolygon relations (routes):
+    member way geometries endpoint-chained into as few linestrings as
+    possible (reference relation way-merge semantics — the Lua
+    relation_function emits the relation as one line object).
+
+    Returns (rel_id, tags, geom) with geom a list of flat [x,y,...]
+    line parts in (lon, latp). Same plan shape as multipolygon
+    assembly: member explode -> way-coords equi-join -> groupBy
+    relation -> per-relation numpy merge (embarrassingly parallel)."""
+    way_coords = assemble_way_geoms(nodes, ways).select(
+        F.col("id").alias("ref"), "coords")
+    mems = entity_relations(relations).filter(F.col("mtype") == "way")
+    joined = mems.join(way_coords, "ref", "inner")
+    grouped = (joined.groupBy("rel_id")
+               .agg(F.collect_list("coords").alias("member_coords")))
+
+    @pandas_udf("array<array<double>>")
+    def merge_members(coords_lists: pd.Series) -> pd.Series:
+        out = []
+        for ways_flat in coords_lists:
+            runs = [np.asarray(w, dtype=np.float64).reshape(-1, 2)
+                    for w in ways_flat]
+            merged = G.merge_lines([r for r in runs if len(r) >= 2])
+            out.append([np.asarray(m).reshape(-1).tolist() for m in merged])
+        return pd.Series(out)
+
+    rel_tags = relations.select(F.col("id").alias("rel_id"), "tags")
+    return (grouped
+            .withColumn("geom", merge_members("member_coords"))
+            .filter(F.size("geom") > 0)
+            .join(rel_tags, "rel_id")
+            .select("rel_id", "tags", "geom"))
+
+
+def features_from_route_relations(relations: DataFrame, ways: DataFrame,
+                                  nodes: DataFrame,
+                                  route_types=("route",)) -> DataFrame:
+    """Route-relation profile: accepted type=route relations emit one
+    LINE feature ('routes' layer) with ref/route attrs — the
+    relation_function surface for non-multipolygon relations."""
+    acc = accepted_relations(
+        relations,
+        F.try_element_at("tags", F.lit("type")).isin(list(route_types)))
+    lines = assemble_route_lines(acc, ways, nodes)
+    tags = F.col("tags")
+    return lines.select(
+        (F.col("rel_id") + F.lit(RELATION_ID_OFFSET)).alias("feature_id"),
+        F.lit("routes").alias("layer"),
+        F.lit(2).alias("geom_type"),
+        F.lit(0).alias("min_zoom"),
+        F.lit(0).alias("z_order"),
+        F.map_from_arrays(
+            F.array(F.lit("route"), F.lit("ref"), F.lit("name")),
+            F.array(F.coalesce(F.try_element_at(tags, F.lit("route")), F.lit("")),
+                    F.coalesce(F.try_element_at(tags, F.lit("ref")), F.lit("")),
+                    F.coalesce(F.try_element_at(tags, F.lit("name")), F.lit(""))))
+        .alias("attrs"),
+        F.col("geom"),
+    )
+
+
 def features_from_relations(relations: DataFrame, ways: DataFrame,
                             nodes: DataFrame) -> DataFrame:
     """The relations profile (relation_function analog): accepted
