@@ -312,8 +312,12 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
         if remaining.isEmpty():
             drained = True
             break
+        # res feeds BOTH the per-probe guarantee stats and the final
+        # output union — cache it or the candidate join + window run
+        # twice per round
         res = knn_points(remaining, targets, k, probe_id=probe_id,
-                         target_id=target_id, cell_zoom=z)
+                         target_id=target_id, cell_zoom=z) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         stats = res.groupBy(probe_id).agg(F.max("dist_m").alias("_kth"),
                                           F.count("*").alias("_n"))
         joined = remaining.join(stats, probe_id, "left")
