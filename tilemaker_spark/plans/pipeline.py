@@ -187,12 +187,21 @@ class TilePipeline:
             ft = apply_feature_limit(ft, max_limit, max_below)
 
         # Stage 3 — per-tile assembly -> tiles (salted two-phase when the
-        # config enables hot-tile salting: city-center skew defense)
-        if cfg.hot_tile_salt > 1:
-            tiles = assemble_tiles_salted(ft, cfg)
-        else:
-            tiles = assemble_tiles(ft, cfg)
-        tiles = self._checkpoint(tiles, "tiles", force=force)
+        # config enables hot-tile salting: city-center skew defense).
+        # Persist the derived feature_tiles: the salted path consumes it
+        # twice (hot-tile counts + the assembly itself) and the rollup
+        # is no longer materialized on disk — without caching both
+        # passes would re-derive it from the basezoom checkpoint.
+        from pyspark import StorageLevel
+        ft = ft.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if cfg.hot_tile_salt > 1:
+                tiles = assemble_tiles_salted(ft, cfg)
+            else:
+                tiles = assemble_tiles(ft, cfg)
+            tiles = self._checkpoint(tiles, "tiles", force=force)
+        finally:
+            ft.unpersist()
 
         self.metrics["total_seconds"] = round(time.time() - t_start, 3)
         # tile count from parquet footers (no extra scan)
