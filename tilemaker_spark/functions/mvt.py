@@ -32,7 +32,7 @@ GEOM_UNKNOWN, GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 0, 1, 2, 3
 CMD_MOVETO, CMD_LINETO, CMD_CLOSEPATH = 1, 2, 7
 
 
-def _varint(n: int) -> bytes:
+def _varint_slow(n: int) -> bytes:
     out = bytearray()
     n &= 0xFFFFFFFFFFFFFFFF
     while True:
@@ -43,6 +43,18 @@ def _varint(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+# Small-value lookup table: the encode hot path emits millions of 1-3
+# byte varints (zigzagged tile-local deltas, tag indexes, field tags);
+# a table hit replaces the shift loop. Bytes identical by construction.
+_VARINT_TABLE = [_varint_slow(i) for i in range(1 << 16)]
+
+
+def _varint(n: int) -> bytes:
+    if 0 <= n < 65536:
+        return _VARINT_TABLE[n]
+    return _varint_slow(n)
 
 
 def _zigzag(n: int) -> int:

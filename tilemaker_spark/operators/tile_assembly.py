@@ -196,11 +196,19 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
         geom_l = cols["geom"]
         attrs_l = cols["attrs"]
 
+        from math import floor as _floor
+        cb0, cb1, cb2, cb3 = clip_box
+        b_min_lon = bbox.min_lon
+        b_max_latp = bbox.max_latp
+        b_xscale = bbox.xscale
+        b_yscale = bbox.yscale
+
         for i in rows_idx:
             gt = int(gt_a[i])
             zo = int(zo_a[i])
-            parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
-                     for p in geom_l[i]]
+            if gt != G.GEOM_POINT:
+                parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                         for p in geom_l[i]]
             # typed attributes (F2: Attribute / AttributeNumeric /
             # AttributeBoolean) — values keep their python types so the
             # MVT value encoder emits float/bool/sint variants
@@ -217,17 +225,22 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
             fid = int(fid_a[i]) if config.include_ids else None
 
             if gt == G.GEOM_POINT:
-                pxs, pys = [], []
-                for p in parts:
-                    inb = ((p[:, 0] >= clip_box[0]) & (p[:, 0] <= clip_box[2])
-                           & (p[:, 1] >= clip_box[1]) & (p[:, 1] <= clip_box[3]))
-                    if inb.any():
-                        qx, qy = bbox.scale_xy(p[inb, 0], p[inb, 1])
-                        pxs.extend(qx.tolist())
-                        pys.extend(qy.tolist())
-                if not pxs:
+                # scalar fast path: point rows dominate the pages
+                # workload and length-1 numpy arrays cost ~10x the
+                # arithmetic. Division (not reciprocal multiply) keeps
+                # the quantized values bit-identical to scale_xy.
+                pts_raw = []
+                for p in geom_l[i]:
+                    for j in range(0, len(p) - 1, 2):
+                        px_ = p[j]
+                        py_ = p[j + 1]
+                        if cb0 <= px_ <= cb2 and cb1 <= py_ <= cb3:
+                            pts_raw.append(
+                                (int(_floor((px_ - b_min_lon) / b_xscale)),
+                                 int(_floor((b_max_latp - py_) / b_yscale))))
+                if not pts_raw:
                     continue
-                pts = list(dict.fromkeys(zip(pxs, pys)))
+                pts = list(dict.fromkeys(pts_raw))
                 if lc.combine_points:
                     # A3 — combine compatible points into one multipoint
                     key = (zo, tuple(attrs))
