@@ -40,8 +40,15 @@ def point_tiles(features: DataFrame, zoom: int) -> DataFrame:
     geom[0] = [lon, latp]; latpLon2index analog
     (reference src/coordinates.cpp:38-41).
     """
-    lon = F.element_at(F.element_at("geom", 1), 1)
-    latp = F.element_at(F.element_at("geom", 1), 2)
+    # getItem (GetArrayItem), NOT element_at: Catalyst's
+    # SimplifyExtractValueOps collapses getItem over the freshly built
+    # array(array(lon, latp)) so the nested-array construction vanishes
+    # from the plan entirely — element_at is opaque to that rule, blows
+    # the expression up ~4x, and its null-guard Filter trips a Spark
+    # codegen bug ("filter_isNull is not an rvalue" -> interpreted
+    # fallback) when pushed toward the scan
+    lon = F.col("geom").getItem(0).getItem(0)
+    latp = F.col("geom").getItem(0).getItem(1)
     return features.withColumn("z", F.lit(zoom).cast("int")) \
         .withColumn("x", lon2tilex_col(lon, zoom)) \
         .withColumn("y", latp2tiley_col(latp, zoom))
