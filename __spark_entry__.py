@@ -268,6 +268,17 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(_docs(spark, sf_dir))
 
 
+SESSION_GAP_MIN = 30
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization over the events stream (window
+    lag + running sum; one shuffle on user_id)."""
+    from tilemaker_spark.operators.text_analysis import sessionize
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap_minutes=SESSION_GAP_MIN)
+
+
 def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed per-tile counts, exercised through Spark's
     unified batch/streaming API (same plan both ways; the streaming
@@ -619,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
         "stream_window_counts": _q_stream_window,
+        "sessionize_events": _q_sessionize,
         "lang_id": _q_lang_id,
         "embedding_topk": _q_embed_topk,
         "embedding_ivf_topk": _q_embed_ivf,
@@ -909,6 +921,29 @@ SELECT (({_epoch0} + doc_id) // 600) * 600 AS win_epoch,
        {sql_tile_x('lon', TILE_Z)} AS x, {sql_tile_y('lat', TILE_Z)} AS y,
        count(*) AS n_pages, min(doc_id) AS min_doc
 FROM geo GROUP BY 1, 3, 4"""
+
+    # sessionization: both sides truncate ts to whole epoch seconds
+    # (Spark unix_timestamp floors; DuckDB floor(epoch())) and order by
+    # the RAW timestamp + event_id, so gap flags agree exactly
+    q["sessionize_events"] = f"""
+WITH e AS (SELECT user_id, event_id, ts, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+flagged AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                 OR es - lag(es) OVER w > {SESSION_GAP_MIN * 60}
+            THEN 1 ELSE 0 END AS newf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_no
+  FROM flagged)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(es) AS started_epoch,
+       max(es) - min(es) AS duration_s,
+       round(sum(value), 6) AS total_value
+FROM numbered GROUP BY user_id, session_no"""
 
     lang_cases = []
     for lang, markers in [("en", ["the", "is", "and"]),

@@ -108,3 +108,31 @@ def test_vectorized_throughput():
 
     assert vec == ref
     assert t_ref / max(t_vec, 1e-9) >= 5.0, (t_ref, t_vec)
+
+
+def test_sessionize_gaps_and_islands(spark):
+    """Known session structure: gaps > 30min split; <= 30min chain."""
+    from datetime import datetime, timedelta
+    from tilemaker_spark.operators.text_analysis import sessionize
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events within 30min, then a 2h gap, then 1 event
+        (1, t0, 1, "a", 1.0),
+        (2, t0 + timedelta(minutes=10), 1, "a", 2.0),
+        (3, t0 + timedelta(minutes=29), 1, "a", 3.0),
+        (4, t0 + timedelta(hours=3), 1, "a", 4.0),
+        # user 2: single event
+        (5, t0, 2, "b", 9.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r.user_id, r.session_no): r
+           for r in sessionize(events, gap_minutes=30).collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert s11.n_events == 3
+    assert s11.duration_s == 29 * 60
+    assert s11.total_value == 6.0
+    assert got[(1, 2)].n_events == 1
+    assert got[(2, 1)].n_events == 1

@@ -176,3 +176,39 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFra
         return pd.Series(out)
 
     return docs.select("doc_id", winnow(F.col("text")).alias("fingerprints"))
+
+
+# ------------------------------------------------- event sessionization
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization over an event stream (classic
+    large-pipeline op; no reference analog): a new session starts when
+    a user's inter-event gap exceeds ``gap_minutes``.
+
+    Pure window functions — lag to flag session starts, a running sum
+    to number them — so the single shuffle is the user_id partition;
+    session aggregation then reuses the same partitioning (no second
+    exchange under Catalyst). Returns one row per session:
+    (user_id, session_no, n_events, started_epoch, duration_s,
+    total_value).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1)
+        .otherwise(0))
+    numbered = flagged.withColumn(
+        "session_no", F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    return (numbered.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(F.unix_timestamp("ts")).alias("started_epoch"),
+                 (F.max(F.unix_timestamp("ts"))
+                  - F.min(F.unix_timestamp("ts"))).alias("duration_s"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select("user_id", "session_no", "n_events", "started_epoch",
+                    "duration_s", "total_value"))
