@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "winnow_fingerprints",
     "area_join_concave",
+    "sessionize_events",
 ]
 
 
