@@ -132,3 +132,39 @@ def test_layer_as_centroid_emitter(spark):
     lx, ly = feats[2].geom[0]
     ring = np.asarray(L, dtype=np.float64).reshape(-1, 2)
     assert G.point_in_ring(lx, ly, ring[:-1])
+
+
+def test_relation_profile_rules(spark):
+    """Declarative relation_function: multipolygon relations routed by
+    tag rules into layers, with a centroid-label rule alongside."""
+    from tilemaker_spark.fixtures import make_relations
+    from tilemaker_spark.operators.profile_compiler import (
+        compile_relation_profile)
+    from tilemaker_spark.operators.relations import (
+        RELATION_ID_OFFSET, accepted_relations, assemble_multipolygons)
+
+    relations, rel_ways, rel_nodes = make_relations(spark)
+    mp = assemble_multipolygons(accepted_relations(relations),
+                                rel_ways, rel_nodes)
+    rules = [
+        {"match": {"natural": "water"}, "geometry": "polygon",
+         "emit": {"layer": "water", "attrs": {"name": "$name"}}},
+        {"match": {"natural": "!water"}, "geometry": "polygon",
+         "emit": {"layer": "landcover", "attrs": {}}},
+        {"match": {"natural": "water"}, "geometry": "centroid",
+         "emit": {"layer": "water_labels", "min_zoom": 10,
+                  "attrs": {"name": "$name"}}},
+    ]
+    feats = compile_relation_profile(rules)(mp).collect()
+    by_layer = {}
+    for f in feats:
+        by_layer.setdefault(f.layer, []).append(f)
+    assert "water" in by_layer and "landcover" in by_layer
+    assert all(f.geom_type == 3 for f in by_layer["water"])
+    assert all(f.feature_id >= RELATION_ID_OFFSET for f in feats)
+    # centroid labels: one point per water relation, inside bbox of geom
+    labels = by_layer["water_labels"]
+    assert labels and all(f.geom_type == 1 for f in labels)
+    assert len(labels) == len(by_layer["water"])
+    for lab in labels:
+        assert len(lab.geom) == 1 and len(lab.geom[0]) == 2

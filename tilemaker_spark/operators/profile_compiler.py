@@ -207,6 +207,51 @@ def compile_node_profile(rules: list):
     return apply
 
 
+def compile_relation_profile(rules: list):
+    """Compile rules for assembled multipolygon relations
+    (relation_function surface, declaratively): input is
+    ``relations.assemble_multipolygons`` output (rel_id, tags, geom).
+    Rules with geometry != 'polygon'/'centroid' are ignored. Feature ids
+    land in the relation namespace (RELATION_ID_OFFSET)."""
+    from tilemaker_spark.operators.relations import RELATION_ID_OFFSET
+
+    def apply(assembled: DataFrame) -> DataFrame:
+        tags = F.col("tags")
+        outs = []
+        for rule in rules:
+            geom_kind = rule.get("geometry", "polygon")
+            if geom_kind not in ("polygon", "centroid"):
+                continue
+            emit = rule["emit"]
+            if geom_kind == "centroid":
+                # centroid of the first (outer) ring
+                geom = _centroid_udf(rule.get("algorithm", "centroid"))(
+                    F.col("geom").getItem(0))
+                gcode = 1
+            else:
+                geom = F.col("geom")
+                gcode = 3
+            outs.append(assembled.filter(
+                _match_predicate(rule.get("match"), tags)).select(
+                (F.col("rel_id") + F.lit(RELATION_ID_OFFSET))
+                .alias("feature_id"),
+                F.lit(emit["layer"]).alias("layer"),
+                F.lit(gcode).alias("geom_type"),
+                _emit_min_zoom(emit, tags).alias("min_zoom"),
+                _emit_z_order(emit, tags).alias("z_order"),
+                _emit_attrs(emit, tags).alias("attrs"),
+                _emit_attr_minzoom(emit).alias("attr_minzoom"),
+                geom.alias("geom")))
+        if not outs:
+            raise ValueError("no polygon/centroid rules in profile")
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionByName(o)
+        return result
+
+    return apply
+
+
 # The reference's example profile (resources/process-example.lua:38-94)
 # re-expressed declaratively — used by tests and the monaco e2e.
 EXAMPLE_PROFILE = [
