@@ -86,6 +86,43 @@ def run_e2e(spark, n_pages: int, workdir: str) -> dict:
             "pages": n_pages}
 
 
+def run_e2e_geom(spark) -> dict:
+    """Geometry-heavy secondary metric: coastline-style polygons
+    (30 x 5k vertices) through the hierarchical cover+clip path to MVT
+    at z0-z11 — the workload where the clip-cache recast matters
+    (flat path measured 93x slower; BENCH/BASELINE.md)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tilemaker_spark.config import EngineConfig, LayerConfig
+    from tilemaker_spark.operators.tile_assembly import assemble_tiles
+    from tilemaker_spark.operators.tiling import cover_clip_explode
+
+    rows = []
+    rng = np.random.default_rng(1)
+    for i in range(30):
+        cx, cy = rng.uniform(-30, 30), rng.uniform(10, 40)
+        ang = np.linspace(0, 2 * np.pi, 5000, endpoint=False)
+        r = 3.0 * (1 + 0.3 * np.sin(7 * ang) + 0.1 * np.sin(23 * ang))
+        ring = np.column_stack([cx + r * np.cos(ang),
+                                cy + r * np.sin(ang)]).reshape(-1).tolist()
+        rows.append((i, "polys", 3, 0, 0, {}, [ring]))
+    feats = spark.createDataFrame(
+        rows, "feature_id long, layer string, geom_type int, min_zoom int, "
+              "z_order int, attrs map<string,string>, geom array<array<double>>")
+    cfg = EngineConfig(basezoom=11, minzoom=0, maxzoom=11, compress="none",
+                       hot_tile_salt=0)
+    cfg.layers["polys"] = LayerConfig(name="polys", minzoom=0, maxzoom=14)
+    t0 = time.time()
+    ft = cover_clip_explode(feats, 0, 11)
+    n = assemble_tiles(ft, cfg).count()
+    dt = time.time() - t0
+    return {"tiles": n, "seconds": round(dt, 2),
+            "tiles_per_sec": round(n / dt, 1),
+            "note": "hierarchical cover+clip; flat path is ~93x slower "
+                    "on this input (BENCH/BASELINE.md)"}
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     n_pages = int(os.environ.get(
@@ -148,8 +185,10 @@ def main() -> None:
 
     e2e = run_e2e(spark, n_pages, f"/tmp/bench_run_{CPUS}")
 
+    e2e_geom = None
     queries: dict = {}
     if "--e2e-only" not in sys.argv:
+        e2e_geom = run_e2e_geom(spark)
         import __spark_entry__ as entrymod
         qs = entrymod.queries()
         for name in BENCH_QUERIES:
@@ -165,6 +204,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "e2e": e2e,
+        "e2e_geom": e2e_geom,
         "cpus": CPUS,
     }
     print(json.dumps(out))
