@@ -441,7 +441,13 @@ def clip_line_to_box(line: np.ndarray, box) -> list:
                         return None
                     if t < t1:
                         t1 = t
-        return ((x0 + t0 * dx, y0 + t0 * dy), (x0 + t1 * dx, y0 + t1 * dy))
+        # exact endpoints at t=0/1: recomputing p + 1.0*d can differ from
+        # q by one ulp, which made the run-continuity check below split
+        # fully-interior polylines at arbitrary vertices
+        a = (x0, y0) if t0 == 0.0 else (x0 + t0 * dx, y0 + t0 * dy)
+        b = (float(q[0]), float(q[1])) if t1 == 1.0 \
+            else (x0 + t1 * dx, y0 + t1 * dy)
+        return (a, b)
 
     runs = []
     cur = []

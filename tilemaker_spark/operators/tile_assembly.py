@@ -44,6 +44,39 @@ def _quantize_dedup(xs: np.ndarray, ys: np.ndarray, is_ring: bool):
     return list(zip(xs.tolist(), ys.tolist()))
 
 
+def _parts_inside(parts: list, box) -> bool:
+    """True when every part lies fully inside the box — then the
+    Sutherland-Hodgman / Liang-Barsky pass is an identity and can be
+    skipped. The hierarchical cover+clip path pre-clips every piece to
+    exactly the assembly's keep box, so this hits ~100% there; on the
+    flat path the bbox scan is far cheaper than the clip it avoids."""
+    x0, y0, x1, y1 = box
+    for p in parts:
+        if len(p) == 0:
+            continue
+        mn = p.min(axis=0)
+        if mn[0] < x0 or mn[1] < y0:
+            return False
+        mx = p.max(axis=0)
+        if mx[0] > x1 or mx[1] > y1:
+            return False
+    return True
+
+
+def _passthrough_rings(parts: list) -> list:
+    """clip_polygon_to_box's output for fully-inside rings: closing
+    duplicate dropped, <3-vertex and zero-area rings removed,
+    orientation untouched (identical values, no clip pass)."""
+    out = []
+    for ring in parts:
+        r = ring
+        if len(r) > 1 and r[0][0] == r[-1][0] and r[0][1] == r[-1][1]:
+            r = r[:-1]
+        if len(r) >= 3 and abs(G.ring_area(r)) != 0.0:
+            out.append(r)
+    return out
+
+
 def _simplify_part(part: np.ndarray, tol: float, algo: str, is_ring: bool) -> np.ndarray:
     if tol <= 0 or len(part) < 3:
         return part
@@ -251,9 +284,13 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
                 n_features += 1
 
             elif gt == G.GEOM_LINE:
-                clipped_runs = []
-                for part in parts:
-                    clipped_runs.extend(G.clip_line_to_box(part, extend_box))
+                if _parts_inside(parts, extend_box):
+                    clipped_runs = [p for p in parts if len(p) >= 2]
+                else:
+                    clipped_runs = []
+                    for part in parts:
+                        clipped_runs.extend(
+                            G.clip_line_to_box(part, extend_box))
                 if not clipped_runs:
                     continue
                 if combine_lines_on:
@@ -277,7 +314,10 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
                 n_features += 1
 
             else:  # polygon
-                clipped = G.clip_polygon_to_box(parts, clip_box)
+                if _parts_inside(parts, clip_box):
+                    clipped = _passthrough_rings(parts)
+                else:
+                    clipped = G.clip_polygon_to_box(parts, clip_box)
                 if min_area > 0 and clipped:
                     # F7 — drop parts/holes below zoom-scaled area
                     clipped = [r for r in clipped
