@@ -46,3 +46,48 @@ def test_adaptive_knn_matches_brute_force(spark):
     e = {(r.probe_id, r.rank): r.target_id for r in exp.collect()}
     assert g == e
     assert len(g) == pts.count() * 3
+
+
+def test_knn_exact_empty_probes(spark):
+    """Empty probe set returns an empty, correctly-typed DataFrame
+    (regression: round-2 code crashed with IndexError on pieces[0])."""
+    pts = (spark.range(20).withColumnRenamed("id", "pid")
+           .withColumn("lon", derive_lon(F.col("pid")))
+           .withColumn("lat", derive_lat(F.col("pid"))))
+    probes = (pts.select(F.col("pid").alias("probe_id"), "lon", "lat")
+              .filter(F.lit(False)))
+    targets = pts.select(F.col("pid").alias("target_id"), "lon", "lat")
+    out = knn_points_exact(probes, targets, 3, cell_zoom=10)
+    assert out.columns == ["probe_id", "target_id", "dist_m", "rank"]
+    assert out.count() == 0
+
+
+def test_knn_exact_driver_action_budget(spark, monkeypatch):
+    """At most ONE driver action (count) per escalation round during plan
+    construction, and no isEmpty calls (round-2 fired 2+ per round)."""
+    from pyspark.sql import DataFrame
+
+    calls = {"count": 0, "isEmpty": 0}
+    orig_count = DataFrame.count
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def banned_isempty(self):
+        calls["isEmpty"] += 1
+        raise AssertionError("isEmpty used in knn_points_exact")
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "isEmpty", banned_isempty)
+
+    pts = (spark.range(60).withColumnRenamed("id", "pid")
+           .withColumn("lon", derive_lon(F.col("pid")))
+           .withColumn("lat", derive_lat(F.col("pid"))))
+    probes = pts.select(F.col("pid").alias("probe_id"), "lon", "lat")
+    targets = pts.select(F.col("pid").alias("target_id"), "lon", "lat")
+    out = knn_points_exact(probes, targets, 3, cell_zoom=10, max_rounds=3)
+    assert calls["count"] <= 3  # <= 1 per escalation round
+    assert calls["isEmpty"] == 0
+    monkeypatch.setattr(DataFrame, "count", orig_count)
+    assert out.count() > 0

@@ -191,3 +191,16 @@ def test_locations_on_ways_matches_join_path(spark, pbf_paths):
     b = assemble_way_geoms(nodes_l, ways_l).collect()[0]
     assert a.id == b.id
     assert a.coords == pytest.approx(b.coords, abs=1e-9)
+
+
+def test_dense_tags_missing_trailing_zero():
+    """Encoders may omit the final 0 delimiter in keys_vals; the LAST
+    node's tags must still be emitted (round-2 advice regression)."""
+    import numpy as np
+    from tilemaker_spark.sources_pbf import _dense_tags
+    strings = ["", "highway", "primary", "name", "Main"]
+    with_z = np.array([1, 2, 0, 0, 3, 4, 0], dtype=np.int64)
+    no_z = np.array([1, 2, 0, 0, 3, 4], dtype=np.int64)
+    expect = [{"highway": "primary"}, {}, {"name": "Main"}]
+    assert _dense_tags(with_z, 3, strings) == expect
+    assert _dense_tags(no_z, 3, strings) == expect

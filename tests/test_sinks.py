@@ -121,3 +121,39 @@ def test_metadata(spark):
     vl = {v["id"]: v for v in json.loads(md["json"])["vector_layers"]}
     assert "lang" in vl["pages"]["fields"]
     assert "class" in vl["roads"]["fields"]
+
+
+def test_mbtiles_read_view_backed(spark, tiles_df, tmp_path):
+    """OpenMapTiles/gdal-style archives define `tiles` as a VIEW over
+    map+images (no rowid) — read_mbtiles must fall back to a
+    (zoom_level, tile_column) range scan (round-2 advice)."""
+    import hashlib
+    import sqlite3
+    path = str(tmp_path / "view.mbtiles")
+    con = sqlite3.connect(path)
+    con.executescript("""
+        CREATE TABLE map (zoom_level INTEGER, tile_column INTEGER,
+                          tile_row INTEGER, tile_id TEXT);
+        CREATE TABLE images (tile_id TEXT PRIMARY KEY, tile_data BLOB);
+        CREATE VIEW tiles AS
+          SELECT map.zoom_level, map.tile_column, map.tile_row,
+                 images.tile_data
+          FROM map JOIN images ON images.tile_id = map.tile_id;
+        CREATE UNIQUE INDEX map_index
+          ON map (zoom_level, tile_column, tile_row);
+    """)
+    expected = {}
+    for r in tiles_df.collect():
+        data = bytes(r.tile)
+        tid = hashlib.md5(data).hexdigest()
+        flipped = (1 << r.z) - 1 - r.y
+        con.execute("INSERT OR IGNORE INTO images VALUES (?, ?)",
+                    (tid, sqlite3.Binary(data)))
+        con.execute("INSERT INTO map VALUES (?,?,?,?)",
+                    (r.z, r.x, flipped, tid))
+        expected[(r.z, r.x, r.y)] = data
+    con.commit()
+    con.close()
+    back = sinks.read_mbtiles(spark, path, chunk_rows=7)
+    got = {(r.z, r.x, r.y): bytes(r.tile) for r in back.collect()}
+    assert got == expected

@@ -293,60 +293,71 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
     guarantee per probe (kth distance < one cell dimension at the
     probe's latitude — the covered radius from anywhere in the center
     cell) and escalates unsatisfied probes to a coarser grid (z-2 per
-    round); stragglers after max_rounds fall back to a brute-force
-    broadcast scan. At scale this means the cheap fine-grid join serves
-    dense regions while sparse-region probes (few) pay progressively
-    more — no global worst-case pricing.
+    round). At scale this means the cheap fine-grid join serves dense
+    regions while sparse-region probes (few) pay progressively more —
+    no global worst-case pricing.
+
+    Driver/caching contract: exactly ONE action (`count`) per
+    escalation round; each round's `remaining` is unpersisted as soon
+    as the next round's `remaining` is materialized (the per-round
+    `res` handles stay cached — the lazy output references them — but
+    they are small: ≤ k rows per probe, max_rounds handles total).
+
+    Stragglers after max_rounds take a final cell-ring round at z=1,
+    which is COMPLETE by construction (the 3x3 ring at z=1 spans cell
+    x,y ∈ [-1,2] ⊇ the whole {0,1}² grid, so every target is a
+    candidate) — exact with no guarantee check and, unlike a
+    crossJoin(broadcast(remaining)), no unbounded driver broadcast
+    when a pathological probe set (e.g. all-ocean) leaves many rows.
+    The piece is appended lazily, so an empty straggler (or probe) set
+    costs nothing and yields an empty, correctly-typed DataFrame.
     """
     from pyspark import StorageLevel
+
+    # slim projection of the original probes: lets the per-round
+    # guarantee check read `lat` from the source lineage instead of the
+    # round's `remaining`, so pieces never depend on unpersisted rounds
+    probes_lat = probes.select(probe_id, "lat")
 
     remaining = probes
     z = cell_zoom
     pieces = []
-    drained = False
-    for _ in range(max_rounds):
-        # persist: each round's `remaining` feeds the emptiness probe, the
-        # candidate join, AND the next round's escalation filter — without
-        # caching every round re-runs the entire prior lineage
+    prev_round = None  # previous round's persisted `remaining`
+    n_remaining = 1
+    rounds = 0
+    while n_remaining > 0 and rounds < max_rounds and z >= 2:
         remaining = remaining.persist(StorageLevel.MEMORY_AND_DISK)
-        if remaining.isEmpty():
-            drained = True
+        n_remaining = remaining.count()  # the one driver action this round
+        if prev_round is not None:
+            # current remaining is materialized; the previous round's is
+            # no longer referenced by any downstream lineage
+            prev_round.unpersist()
+            prev_round = None
+        if n_remaining == 0:
+            remaining.unpersist()
             break
         # res feeds BOTH the per-probe guarantee stats and the final
-        # output union — cache it or the candidate join + window run
-        # twice per round
+        # output union — cache it or the candidate join + window run twice
         res = knn_points(remaining, targets, k, probe_id=probe_id,
                          target_id=target_id, cell_zoom=z) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         stats = res.groupBy(probe_id).agg(F.max("dist_m").alias("_kth"),
                                           F.count("*").alias("_n"))
-        joined = remaining.join(stats, probe_id, "left")
         cell_m = F.lit(40075017.0 / (1 << z)) * F.cos(F.radians(F.col("lat")))
         ok = (F.col("_n") >= k) & (F.col("_kth") < cell_m)
-        done_ids = joined.filter(ok).select(probe_id)
+        done_ids = (stats.join(probes_lat, probe_id)
+                    .filter(ok).select(probe_id))
         pieces.append(res.join(done_ids, probe_id, "left_semi"))
-        remaining = joined.filter(~F.coalesce(ok, F.lit(False))) \
-            .drop("_kth", "_n")
+        prev_round = remaining
+        remaining = remaining.join(done_ids, probe_id, "left_anti")
         z -= 2
-    if not drained and not remaining.isEmpty():
-        # brute force for the sparse stragglers: broadcast them against
-        # the full target set
-        t = targets.withColumnRenamed("lon", "t_lon") \
-            .withColumnRenamed("lat", "t_lat")
-        cand = t.crossJoin(F.broadcast(remaining))
-        rlat1 = F.radians(F.col("lat"))
-        rlat2 = F.radians(F.col("t_lat"))
-        dlat = rlat2 - rlat1
-        dlon = F.radians(F.col("t_lon")) - F.radians(F.col("lon"))
-        a = (F.pow(F.sin(dlat / 2), 2)
-             + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2))
-        dist = F.round(F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a)), 3)
-        w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(),
-                                                 F.col(target_id))
-        pieces.append(cand.withColumn("dist_m", dist)
-                      .withColumn("rank", F.row_number().over(w))
-                      .filter(F.col("rank") <= k)
-                      .select(probe_id, target_id, "dist_m", "rank"))
+        rounds += 1
+    # complete final round (lazy; empty-in -> empty-out). Also taken when
+    # pieces is empty (probes DF empty) purely to return a correctly-typed
+    # empty DataFrame without an extra action.
+    if n_remaining > 0 or not pieces:
+        pieces.append(knn_points(remaining, targets, k, probe_id=probe_id,
+                                 target_id=target_id, cell_zoom=1))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)

@@ -126,24 +126,52 @@ def read_mbtiles(spark, path: str, chunk_rows: int = 20_000) -> DataFrame:
     sources_pbf.read_pbf. A planet mbtiles (~80 GB) never materializes
     on the driver; each task holds at most one chunk."""
     con = sqlite3.connect(path)
-    row = con.execute("SELECT MIN(rowid), MAX(rowid) FROM tiles").fetchone()
+    # OpenMapTiles/gdal-style archives define `tiles` as a VIEW over
+    # map+images — views have no rowid, so probe sqlite_master first and
+    # fall back to (zoom_level, tile_column) range chunking there.
+    kind = con.execute(
+        "SELECT type FROM sqlite_master WHERE name = 'tiles'").fetchone()
+    is_view = bool(kind) and kind[0] == "view"
+    if not is_view:
+        row = con.execute("SELECT MIN(rowid), MAX(rowid) FROM tiles").fetchone()
+        lo, hi = row
+        ranges = [] if lo is None else \
+            [(-1, int(s), int(min(s + chunk_rows - 1, hi)))
+             for s in range(int(lo), int(hi) + 1, chunk_rows)]
+    else:
+        # index-only aggregate on the driver; per-zoom column ranges
+        # sized by row count (density skew within a zoom can unbalance a
+        # chunk, but this is the compatibility path, not the hot one)
+        ranges = []
+        for z, cnt, c0, c1 in con.execute(
+                "SELECT zoom_level, COUNT(*), MIN(tile_column), "
+                "MAX(tile_column) FROM tiles GROUP BY zoom_level"):
+            n_chunks = max(1, -(-int(cnt) // chunk_rows))
+            cols = int(c1) - int(c0) + 1
+            step = max(1, -(-cols // n_chunks))
+            ranges.extend((int(z), int(s), int(min(s + step - 1, c1)))
+                          for s in range(int(c0), int(c1) + 1, step))
     con.close()
-    lo, hi = row
-    if lo is None:
+    if not ranges:
         return spark.createDataFrame([], "z int, x long, y long, tile binary")
-    ranges = [(int(s), int(min(s + chunk_rows - 1, hi)))
-              for s in range(int(lo), int(hi) + 1, chunk_rows)]
-    rdf = spark.createDataFrame(ranges, "lo long, hi long")
+    rdf = spark.createDataFrame(ranges, "rz int, lo long, hi long")
 
     def read_ranges(batches):
         con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
         try:
             for pdf in batches:
-                for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
-                    rows = con.execute(
-                        "SELECT zoom_level, tile_column, tile_row, tile_data "
-                        "FROM tiles WHERE rowid BETWEEN ? AND ?",
-                        (int(lo_), int(hi_))).fetchall()
+                for rz_, lo_, hi_ in zip(pdf["rz"], pdf["lo"], pdf["hi"]):
+                    if int(rz_) < 0:
+                        rows = con.execute(
+                            "SELECT zoom_level, tile_column, tile_row, "
+                            "tile_data FROM tiles WHERE rowid BETWEEN ? AND ?",
+                            (int(lo_), int(hi_))).fetchall()
+                    else:
+                        rows = con.execute(
+                            "SELECT zoom_level, tile_column, tile_row, "
+                            "tile_data FROM tiles WHERE zoom_level = ? "
+                            "AND tile_column BETWEEN ? AND ?",
+                            (int(rz_), int(lo_), int(hi_))).fetchall()
                     if rows:
                         yield pd.DataFrame({
                             "z": [int(z) for z, _, _, _ in rows],

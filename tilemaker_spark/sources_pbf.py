@@ -152,6 +152,10 @@ def _dense_tags(kv: np.ndarray, n: int, strings: list) -> list:
     if kv.size == 0 or not kv.any():
         return [{}] * n
     zeros = np.flatnonzero(kv == 0)
+    if kv[-1] != 0:
+        # encoders may omit the trailing 0 delimiter for the LAST node;
+        # treat end-of-array as a sentinel boundary so its tags survive
+        zeros = np.concatenate([zeros, [kv.size]])
     starts = np.concatenate([[0], zeros[:-1] + 1])
     out = []
     for s, e in zip(starts.tolist(), zeros.tolist()):
