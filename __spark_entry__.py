@@ -314,7 +314,12 @@ def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, PROBE_IDS, k=TOPK, bucket_col="bucket")
 
 
-NEARDUP_COS = 0.6  # cosine threshold for the embedding near-dup pairs
+# Cosine threshold for the embedding near-dup pairs. 0.4 is calibrated
+# so the fixture yields pairs at EVERY sf (13 @ sf0.001, 12 @ sf0.01,
+# 134 @ sf0.1) — the round-2 value (0.6) produced 0 rows at sf0.01,
+# making the oracle row a vacuous 0-vs-0 match that could not
+# distinguish a broken cosine/bucket computation from a correct one.
+NEARDUP_COS = 0.4
 
 
 def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,17 +489,59 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fp")))
 
 
+# Rule set for the oracle-checked declarative-profile query: exercises
+# every match operator (presence *, equality, !negation, value-list)
+# plus min_zoom_map, $tag attr substitution, and z_order_tag — the
+# relational core of the Lua-analog surface (§2.8).
+ORACLE_PROFILE = [
+    {"match": {"grade": "*"}, "geometry": "point",
+     "emit": {"layer": "roads",
+              "min_zoom_map": {"tag": "grade",
+                               "map": {"motorway": 4, "trunk": 4,
+                                       "primary": 7, "secondary": 9},
+                               "default": 12},
+              "attrs": {"class": "$grade", "name": "$name"}}},
+    {"match": {"kind": "cafe", "name": "*"}, "geometry": "point",
+     "emit": {"layer": "poi", "min_zoom": 12,
+              "attrs": {"name": "$name", "kind": "$kind"}}},
+    {"match": {"lang": ["en", "de"], "kind": "!cafe"}, "geometry": "point",
+     "emit": {"layer": "docs", "min_zoom": 10, "z_order_tag": "rank",
+              "attrs": {"lang": "$lang", "src": "$source"}}},
+    {"match": {"source": "!src0"}, "geometry": "point",
+     "emit": {"layer": "other", "min_zoom": 3, "attrs": {}}},
+]
+
+
 def _q_declarative_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF surface (§2.8): declarative rule profile compiled to Column
-    exprs over the ways fixture (rows-only; RNG fixture not in SQL)."""
-    from tilemaker_spark.fixtures import make_nodes_ways
-    from tilemaker_spark.operators.profile import assemble_way_geoms
-    from tilemaker_spark.operators.profile_compiler import (
-        EXAMPLE_PROFILE, compile_way_profile)
-    nodes, ways = make_nodes_ways(spark)
-    feats = compile_way_profile(EXAMPLE_PROFILE)(assemble_way_geoms(nodes, ways))
+    exprs, driven by tag maps derived from the documents table so the
+    match/emit semantics are hash-checked against an independent SQL
+    encoding (round-2 verdict item 5; the way-geometry variant of the
+    compiler stays pytest-covered in test_profile_compiler.py)."""
+    from tilemaker_spark.operators.profile_compiler import compile_node_profile
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    nodes = docs.select(
+        i.alias("id"), F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon"),
+        F.map_from_arrays(
+            F.array(F.lit("lang"), F.lit("source"), F.lit("kind"),
+                    F.lit("name"), F.lit("grade"), F.lit("rank")),
+            F.array(
+                F.col("lang"), F.col("source"),
+                F.when(i % 7 == 0, F.lit("cafe")),
+                F.when(i % 3 == 0, F.concat(F.lit("doc"), i.cast("string"))),
+                F.when(i % 5 == 0, F.lit("motorway"))
+                .when(i % 5 == 1, F.lit("trunk"))
+                .when(i % 5 == 2, F.lit("primary"))
+                .when(i % 5 == 3, F.lit("secondary")),
+                (i % 4).cast("string"))).alias("tags"))
+    feats = compile_node_profile(ORACLE_PROFILE)(nodes)
+    named = F.coalesce(F.try_element_at("attrs", F.lit("name")), F.lit(""))
     return (feats.groupBy("layer", "min_zoom")
-            .agg(F.count("*").alias("n"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(named != "", 1).otherwise(0)).alias("n_named"),
+                 F.sum("z_order").alias("sum_zo"),
+                 F.min("feature_id").alias("min_fid"))
             .orderBy("layer", "min_zoom"))
 
 
@@ -1119,6 +1166,41 @@ WHERE x >= greatest(0, CAST(floor(({_b_lon0!r} + 180.0) / 360.0 * pow(2, z)) AS 
   AND y <= least(CAST(pow(2, z) AS BIGINT) - 1,
                  CAST(floor((180.0 - {_latp_lo!r}) / 360.0 * pow(2, z)) AS BIGINT))
 GROUP BY z, x, y"""
+
+    # Independent SQL encoding of ORACLE_PROFILE: same tag derivation
+    # from documents columns, one UNION ALL branch per rule (match
+    # semantics: '*' presence = IS NOT NULL, '!' = NULL-or-not-equal,
+    # list = IN, equality; min_zoom_map / $subst / z_order_tag as CASEs).
+    q["declarative_profile"] = """
+WITH base AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN doc_id % 7 = 0 THEN 'cafe' END AS kind,
+    CASE WHEN doc_id % 3 = 0 THEN 'doc' || CAST(doc_id AS VARCHAR) END AS name,
+    CASE doc_id % 5 WHEN 0 THEN 'motorway' WHEN 1 THEN 'trunk'
+         WHEN 2 THEN 'primary' WHEN 3 THEN 'secondary' END AS grade,
+    CAST(doc_id % 4 AS VARCHAR) AS rank
+  FROM documents),
+feat AS (
+  SELECT doc_id AS fid, 'roads' AS layer,
+         CASE grade WHEN 'motorway' THEN 4 WHEN 'trunk' THEN 4
+              WHEN 'primary' THEN 7 WHEN 'secondary' THEN 9
+              ELSE 12 END AS min_zoom,
+         COALESCE(name, '') AS attr_name, 0 AS z_order
+  FROM base WHERE grade IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'poi', 12, COALESCE(name, ''), 0
+  FROM base WHERE kind = 'cafe' AND name IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'docs', 10, '', COALESCE(CAST(rank AS INT), 0)
+  FROM base WHERE lang IN ('en', 'de') AND (kind IS NULL OR kind <> 'cafe')
+  UNION ALL
+  SELECT doc_id, 'other', 3, '', 0
+  FROM base WHERE source IS NULL OR source <> 'src0')
+SELECT layer, CAST(min_zoom AS INT) AS min_zoom, count(*) AS n,
+       CAST(SUM(CASE WHEN attr_name <> '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_named,
+       CAST(SUM(z_order) AS BIGINT) AS sum_zo, MIN(fid) AS min_fid
+FROM feat GROUP BY layer, min_zoom"""
 
     # winnow_fingerprints, tiles_e2e, relations_multipolygon, pbf_scan:
     # non-SQL-expressible (pandas-UDF rolling hash / binary MVT assembly /

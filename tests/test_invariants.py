@@ -43,3 +43,14 @@ def test_tile_bytes_deterministic(spark):
     b = _tile_hashes(spark, make_pages(spark, 400))
     assert a == b
     assert len(a) > 0
+
+
+def test_embedding_neardup_nonvacuous(spark):
+    """The near-dup oracle row must be structurally non-empty at every
+    sf — a 0-row hash match cannot distinguish a broken cosine/bucket
+    computation from a correct one (round-2 verdict)."""
+    import __spark_entry__ as entry
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        df = entry.queries()["embedding_neardup"](spark, sf_dir)
+        assert df.count() > 0, f"vacuous neardup at {sf_dir}"

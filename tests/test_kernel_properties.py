@@ -96,11 +96,23 @@ def test_mvt_point_roundtrip(pts):
                 min_size=3, max_size=15, unique=True))
 @settings(max_examples=60, deadline=None)
 def test_mvt_polygon_roundtrip(ring):
+    """Roundtrip up to MVT-spec winding normalization: a lone ring is an
+    exterior, so it decodes as the input if already positive-area, else
+    as its start-preserving reversal — never any other permutation."""
     lb = mvt.LayerBuilder("t")
     lb.add_feature(mvt.GEOM_POLYGON, mvt.encode_polygon_geometry([ring]))
     dec = mvt.decode_tile(mvt.encode_tile([lb]))
     got = [tuple(p) for p in dec["t"]["features"][0]["geom"][0]]
-    assert got == [tuple(p) for p in ring]
+    fwd = [tuple(p) for p in ring]
+    rev = [fwd[0]] + fwd[:0:-1]
+    area = mvt._ring_shoelace(fwd)
+    if area < 0:
+        assert got == rev
+    elif area > 0:
+        assert got == fwd
+    else:
+        assert got == fwd  # degenerate rings pass through unchanged
+    assert mvt._ring_shoelace(got) >= 0
 
 
 @given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=5))

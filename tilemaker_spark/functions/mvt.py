@@ -121,14 +121,59 @@ def encode_line_geometry(lines) -> bytes:
     return bytes(out)
 
 
+def _ring_shoelace(ring) -> float:
+    """Signed area (surveyor's formula) of a [(x,y), ...] ring."""
+    a = 0.0
+    n = len(ring)
+    for i in range(n):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % n]
+        a += x0 * y1 - x1 * y0
+    return 0.5 * a
+
+
+def normalize_mvt_winding(rings) -> list:
+    """Reorient rings to the MVT v2 spec (§4.3.3.3): exterior rings
+    positive area, interior rings negative, under the surveyor's
+    formula in tile coords (y down).
+
+    Classification is sign-relative, not absolute: the ring with the
+    largest |area| is definitionally an exterior (a hole cannot out-
+    measure its outer), rings sharing its sign are exteriors, opposite
+    signs are holes. This accepts BOTH pipeline conventions — flat-path
+    tile rings arrive outers-negative (latp-positive flipped by the y
+    inversion), overlay.union_many output arrives outers-positive —
+    and emits one spec-compliant convention, so decoders that classify
+    by signed area (MapLibre classifyRings) always group correctly.
+    Reversal keeps the start vertex (rotation-stable for goldens).
+    """
+    areas = [_ring_shoelace(r) for r in rings]
+    dom = 0.0
+    for a in areas:
+        if abs(a) > abs(dom):
+            dom = a
+    if dom == 0.0:
+        return list(rings)
+    out = []
+    for ring, a in zip(rings, areas):
+        is_outer = (a > 0) == (dom > 0) or a == 0
+        want_pos = is_outer
+        if a != 0 and (a > 0) != want_pos:
+            ring = [ring[0]] + list(ring)[:0:-1]
+        out.append(ring)
+    return out
+
+
 def encode_polygon_geometry(rings) -> bytes:
     """rings: list of [(x,y), ...] closed rings (first pt NOT repeated).
 
-    Ring order: outer then its inners (MVT infers nesting by winding).
+    Ring order: outer then its inners. Winding is normalized to the
+    MVT spec here (exterior positive in tile coords) so nesting is
+    decodable by signed area regardless of the caller's convention.
     """
     out = bytearray()
     px = py = 0
-    for ring in rings:
+    for ring in normalize_mvt_winding(rings):
         if len(ring) < 3:
             continue
         x0, y0 = int(ring[0][0]), int(ring[0][1])

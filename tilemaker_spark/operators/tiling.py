@@ -157,6 +157,11 @@ def cover_clip_explode(features: DataFrame, minzoom: int, basezoom: int,
                 return runs
             return G.clip_polygon_to_box(parts, box)
 
+        # flush threshold: bounds the per-task buffer to O(chunk) rows
+        # instead of O(whole-batch descent output) — a planet-scale
+        # vertex-heavy feature at high basezoom would otherwise hold
+        # every clipped piece of the Arrow batch in one Python list
+        chunk = 8192
         for pdf in batches:
             out_rows = []
             for row in pdf.itertuples(index=False):
@@ -191,6 +196,10 @@ def cover_clip_explode(features: DataFrame, minzoom: int, basezoom: int,
                     rec = list(base)
                     rec[gi] = [p.reshape(-1).tolist() for p in buffered]
                     out_rows.append(tuple(rec) + (z, x, y))
+                    if len(out_rows) >= chunk:
+                        yield pd.DataFrame(out_rows,
+                                           columns=in_cols + ["z", "x", "y"])
+                        out_rows = []
                     if z < basezoom:
                         nxt = member[z + 1]
                         for dx in (0, 1):
