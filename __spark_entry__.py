@@ -463,6 +463,24 @@ def _q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("feature_id", "layer", F.size("geom").alias("n_rings"))
 
 
+def _q_relations_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J7 hash-checked: the ring-stitch geometry reduced to
+    SQL-checkable scalars — ring count and net signed latp-space area
+    (outers positive, holes negative per the stitch convention) — which
+    the oracle derives in closed form from the FIXTURES §3 literal
+    rectangle coordinates (round-2 verdict item 8)."""
+    from tilemaker_spark.fixtures import make_relations
+    from tilemaker_spark.operators.relations import (
+        features_from_relations, net_signed_area)
+
+    relations, rel_ways, rel_nodes = make_relations(spark)
+    feats = features_from_relations(relations, rel_ways, rel_nodes)
+    return feats.select("feature_id", "layer",
+                        F.size("geom").alias("n_rings"),
+                        F.round(net_signed_area(F.col("geom")), 9)
+                        .alias("area9"))
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary image column -> decoded stats via mapInPandas
     (deterministic fake codec; rows-only check)."""
@@ -687,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covered_by_join": _q_covered_by,
         "geom_measures": _q_geom_measures,
         "relations_multipolygon": _q_relations,
+        "relations_scalars": _q_relations_scalars,
         "winnow_fingerprints": _q_winnow,
         "media_image_stats": _q_media_decode,
         "media_embed_knn": _q_media_embed_knn,
@@ -1201,6 +1220,38 @@ SELECT layer, CAST(min_zoom AS INT) AS min_zoom, count(*) AS n,
          AS n_named,
        CAST(SUM(z_order) AS BIGINT) AS sum_zo, MIN(fid) AS min_fid
 FROM feat GROUP BY layer, min_zoom"""
+
+    # Closed-form expectation for the relation ring stitch: the FIXTURES
+    # §3 relations are literal axis-aligned rectangles, so net latp area
+    # is width * (latp(y1) - latp(y0)) summed outers-minus-holes; the
+    # lp CTE evaluates latp(y) = degrees(ln(tan(pi/4 + radians(y)/2))).
+    q["relations_scalars"] = """
+WITH lp AS (
+  SELECT degrees(ln(tan(pi()/4 + radians(10.0)/2)))  AS l100,
+         degrees(ln(tan(pi()/4 + radians(10.1)/2)))  AS l101,
+         degrees(ln(tan(pi()/4 + radians(10.3)/2)))  AS l103,
+         degrees(ln(tan(pi()/4 + radians(10.05)/2))) AS l1005,
+         degrees(ln(tan(pi()/4 + radians(10.15)/2))) AS l1015,
+         degrees(ln(tan(pi()/4 + radians(10.2)/2)))  AS l102,
+         degrees(ln(tan(pi()/4 + radians(10.02)/2))) AS l1002,
+         degrees(ln(tan(pi()/4 + radians(10.04)/2))) AS l1004),
+f AS (
+  SELECT 400001 + 4398046511104 AS feature_id, 'water' AS layer,
+         1 AS n_rings, 0.1 * (l101 - l100) AS area FROM lp
+  UNION ALL
+  SELECT 400002 + 4398046511104, 'water', 1, 0.1 * (l101 - l100) FROM lp
+  UNION ALL
+  SELECT 400003 + 4398046511104, 'landcover', 3,
+         0.3 * (l103 - l100) - 0.05 * (l101 - l1005)
+                             - 0.05 * (l102 - l1015) FROM lp
+  UNION ALL
+  SELECT 400004 + 4398046511104, 'landcover', 4,
+         2 * (0.1 * (l101 - l100)) - 2 * (0.02 * (l1004 - l1002)) FROM lp
+  UNION ALL
+  SELECT 400005 + 4398046511104, 'landcover', 1, 0.1 * (l101 - l100) FROM lp)
+SELECT feature_id, layer, CAST(n_rings AS INT) AS n_rings,
+       round(area, 9) AS area9
+FROM f"""
 
     # winnow_fingerprints, tiles_e2e, relations_multipolygon, pbf_scan:
     # non-SQL-expressible (pandas-UDF rolling hash / binary MVT assembly /

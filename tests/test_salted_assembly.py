@@ -87,3 +87,15 @@ def test_salted_feature_counts(spark, feature_tiles, cfg):
     total = sum(r.n_features for r in rows)
     # every feature present exactly once across its tiles
     assert total == feature_tiles.count()
+
+
+def test_salted_shuffle_join_branch(spark, feature_tiles, cfg, monkeypatch):
+    """Above _HOT_BROADCAST_CAP hot keys the salted path must switch to
+    shuffle hash joins and still produce identical tiles (round-2
+    verdict 9: guard the broadcast with a bound)."""
+    from tilemaker_spark.operators import tile_assembly as TA
+    plain = _decode_all(assemble_tiles(feature_tiles, cfg).collect())
+    monkeypatch.setattr(TA, "_HOT_BROADCAST_CAP", 0)
+    salted = _decode_all(
+        TA.assemble_tiles_salted(feature_tiles, cfg).collect())
+    assert plain == salted

@@ -170,6 +170,22 @@ def _stitch_series(outers: pd.Series, inners: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def net_signed_area(geom_col):
+    """Column: sum of signed latp-space shoelace areas over a feature's
+    ring parts (outers positive, holes negative per the stitch
+    convention) — the SQL-checkable scalar witness for the J2/J7 ring
+    stitch. UDF defined lazily (module import must not need a session)."""
+
+    @pandas_udf("double")
+    def _net(geom: pd.Series) -> pd.Series:
+        return pd.Series([
+            float(sum(G.ring_area(np.asarray(p, dtype=np.float64)
+                                  .reshape(-1, 2)) for p in parts))
+            for parts in geom])
+
+    return _net(geom_col)
+
+
 def assemble_multipolygons(relations: DataFrame, ways: DataFrame,
                            nodes: DataFrame) -> DataFrame:
     """J2 + J7: (rel_id, tags, geom) with geom the stitched multipolygon

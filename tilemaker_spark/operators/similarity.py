@@ -100,8 +100,8 @@ def with_hyperplane_bucket(embeddings: DataFrame, n_bits: int = 4,
 
 
 def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
-                  max_iter: int = 5,
-                  emb_col: str = "embedding") -> DataFrame:
+                  max_iter: int = 5, emb_col: str = "embedding",
+                  return_centroids: bool = False):
     """Computed coarse quantizer #2: distributed Lloyd's k-means.
 
     Init is deterministic (the ``n_clusters`` lowest vec_ids). Each
@@ -111,7 +111,10 @@ def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
     map-side partial avg to recompute centroids. Only the k×d centroid
     matrix ever reaches the driver — the corpus itself never moves, so
     the loop scales to 100 TB (cost = max_iter corpus scans).
-    Returns the input + 'cluster' column.
+    Returns the input + 'cluster' column; with ``return_centroids``,
+    the tuple (assigned_df, final k×d centroid ndarray) so callers
+    (ivf_topk_kmeans) don't pay a second full-corpus scan to recover
+    what the loop already computed.
     """
     first = (embeddings.orderBy("vec_id").limit(n_clusters)
              .select(emb_col).collect())
@@ -151,8 +154,9 @@ def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
             break
         centroids = new_c
 
-    return embeddings.withColumn(
+    assigned = embeddings.withColumn(
         "cluster", make_assign(centroids)(F.col(emb_col)))
+    return (assigned, centroids) if return_centroids else assigned
 
 
 def ivf_topk_kmeans(embeddings: DataFrame, probe_ids, k: int = 5,
@@ -162,16 +166,10 @@ def ivf_topk_kmeans(embeddings: DataFrame, probe_ids, k: int = 5,
     cluster; each probe scans its ``nprobe`` nearest inverted lists
     (nprobe > 1 trades scan cost for recall, exactly like FAISS IVF).
     Returns (probe_id, vec_id, cos_sim, rank)."""
-    assigned = kmeans_assign(embeddings, n_clusters, max_iter)
-    # recover the final centroids for probe-side nprobe assignment
-    dim = len(assigned.select("embedding").first()[0])
-    cent_rows = (assigned.groupBy("cluster")
-                 .agg(*[F.avg(F.element_at(F.col("embedding"), j + 1))
-                        .alias(f"a{j}") for j in range(dim)])
-                 .collect())
-    cent = np.zeros((n_clusters, dim))
-    for r in cent_rows:
-        cent[r["cluster"]] = [r[f"a{j}"] for j in range(dim)]
+    # centroids come straight from the Lloyd loop — no second corpus
+    # scan / first() dim probe to re-derive them (round-2 verdict 7)
+    assigned, cent = kmeans_assign(embeddings, n_clusters, max_iter,
+                                   return_centroids=True)
     half_norms = 0.5 * (cent ** 2).sum(axis=1)
 
     @pandas_udf("array<int>")

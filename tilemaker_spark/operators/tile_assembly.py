@@ -126,6 +126,12 @@ def _batch_prepare(pdf: pd.DataFrame, config: EngineConfig) -> pd.DataFrame:
 # time, and at that density the visual difference is sub-pixel.
 _UNION_VERTEX_CAP = 20000
 
+# Hot-tile (z,x,y) keys are broadcast to the salted-assembly joins up to
+# this many rows (3 int64 cols ≈ 24 MB at the cap); beyond it the joins
+# fall back to shuffle hash so a pathological hot set can't blow the
+# driver/executor broadcast budget.
+_HOT_BROADCAST_CAP = 1_000_000
+
 
 def _union_ring_groups(groups: list) -> list:
     """A5/G12 — true geometric union of the per-feature ring groups of
@@ -508,18 +514,26 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
 
     counts = feature_tiles.groupBy("z", "x", "y").agg(F.count("*").alias("_n"))
     # hot keys stay a (persisted) DataFrame — never collected to the
-    # driver: at planet scale threshold-exceeding tiles can number in the
-    # millions, and the three joins below only need them broadcast
-    # executor-side. Small by construction (tiles with > threshold
-    # features), so broadcast is safe.
+    # driver. Bound: at most (world tile count at basezoom) × (hot
+    # fraction); with the default threshold a planet run yields
+    # thousands-to-tens-of-thousands of hot (z,x,y) rows (3 int64 cols).
+    # Up to _HOT_BROADCAST_CAP keys (~tens of MB) the three joins below
+    # broadcast them executor-side; a pathological hot set beyond the
+    # cap falls back to shuffle hash joins instead of an oversized
+    # broadcast.
     hot_keys = (counts.filter(F.col("_n") > threshold).drop("_n")
                 .persist(StorageLevel.MEMORY_AND_DISK))
-    if hot_keys.limit(1).count() == 0:
+    n_hot = hot_keys.count()
+    if n_hot == 0:
         hot_keys.unpersist()
         return assemble_tiles(feature_tiles, config, num_partitions)
-    joined = feature_tiles.join(
-        F.broadcast(hot_keys.withColumn("_hot", F.lit(1))),
-        ["z", "x", "y"], "left")
+    hot1 = hot_keys.withColumn("_hot", F.lit(1))
+    if n_hot <= _HOT_BROADCAST_CAP:
+        hot1 = F.broadcast(hot1)
+        hk = F.broadcast(hot_keys)
+    else:
+        hk = hot_keys
+    joined = feature_tiles.join(hot1, ["z", "x", "y"], "left")
     salted = (joined.withColumn(
         "salt", F.when(F.col("_hot").isNotNull(),
                        (F.col("feature_id") % salt).cast("int"))
@@ -542,9 +556,8 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
     # materialization Spark would re-run the whole encode once per branch
     partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
 
-    cold = partial.join(F.broadcast(hot_keys), ["z", "x", "y"], "left_anti")
-    hot_partial = partial.join(F.broadcast(hot_keys), ["z", "x", "y"],
-                               "left_semi")
+    cold = partial.join(hk, ["z", "x", "y"], "left_anti")
+    hot_partial = partial.join(hk, ["z", "x", "y"], "left_semi")
 
     compress_mode = config.compress
 
