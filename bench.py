@@ -86,17 +86,9 @@ def run_e2e(spark, n_pages: int, workdir: str) -> dict:
             "pages": n_pages}
 
 
-def run_e2e_geom(spark) -> dict:
-    """Geometry-heavy secondary metric: coastline-style polygons
-    (30 x 5k vertices) through the hierarchical cover+clip path to MVT
-    at z0-z11 — the workload where the clip-cache recast matters
-    (flat path measured 93x slower; BENCH/BASELINE.md)."""
+def _geom_features(spark):
+    """Coastline-style polygons: 30 x 5k vertices (deterministic)."""
     import numpy as np
-    from pyspark.sql import functions as F
-
-    from tilemaker_spark.config import EngineConfig, LayerConfig
-    from tilemaker_spark.operators.tile_assembly import assemble_tiles
-    from tilemaker_spark.operators.tiling import cover_clip_explode
 
     rows = []
     rng = np.random.default_rng(1)
@@ -107,20 +99,64 @@ def run_e2e_geom(spark) -> dict:
         ring = np.column_stack([cx + r * np.cos(ang),
                                 cy + r * np.sin(ang)]).reshape(-1).tolist()
         rows.append((i, "polys", 3, 0, 0, {}, [ring]))
-    feats = spark.createDataFrame(
+    return spark.createDataFrame(
         rows, "feature_id long, layer string, geom_type int, min_zoom int, "
               "z_order int, attrs map<string,string>, geom array<array<double>>")
-    cfg = EngineConfig(basezoom=11, minzoom=0, maxzoom=11, compress="none",
-                       hot_tile_salt=0)
+
+
+def _geom_cfg(basezoom):
+    from tilemaker_spark.config import EngineConfig, LayerConfig
+
+    cfg = EngineConfig(basezoom=basezoom, minzoom=0, maxzoom=basezoom,
+                       compress="none", hot_tile_salt=0)
     cfg.layers["polys"] = LayerConfig(name="polys", minzoom=0, maxzoom=14)
+    return cfg
+
+
+def _geom_tiles(spark, feats, cfg, hierarchical: bool):
+    from tilemaker_spark.operators.tile_assembly import assemble_tiles
+    from tilemaker_spark.operators.tiling import (
+        ancestor_rollup, cover_clip_explode, cover_explode)
+
+    if hierarchical:
+        ft = cover_clip_explode(feats, cfg.minzoom, cfg.basezoom)
+    else:
+        ft = ancestor_rollup(cover_explode(feats, cfg.basezoom),
+                             cfg.minzoom, cfg.basezoom)
+    return assemble_tiles(ft, cfg).count()
+
+
+def run_e2e_geom(spark) -> dict:
+    """Geometry-heavy secondary metric at z0-z11, taking whatever
+    Stage-2 path the ENGINE DEFAULT selects (hierarchical since round
+    3) — the workload where the clip-cache recast matters (flat path
+    measured 93x slower at this depth; BENCH/BASELINE.md)."""
+    feats = _geom_features(spark)
+    cfg = _geom_cfg(11)
     t0 = time.time()
-    ft = cover_clip_explode(feats, 0, 11)
-    n = assemble_tiles(ft, cfg).count()
+    n = _geom_tiles(spark, feats, cfg, cfg.hierarchical_clip)
     dt = time.time() - t0
     return {"tiles": n, "seconds": round(dt, 2),
             "tiles_per_sec": round(n / dt, 1),
-            "note": "hierarchical cover+clip; flat path is ~93x slower "
-                    "on this input (BENCH/BASELINE.md)"}
+            "path": "hierarchical" if cfg.hierarchical_clip else "flat"}
+
+
+def run_e2e_geom_pair(spark) -> dict:
+    """Flat-vs-hierarchical on the SAME input at z0-z9 (shallow enough
+    that the flat path finishes in bench budget; at the headline's z11
+    it is ~93x slower) — tracks the clip-cache win round-over-round."""
+    feats = _geom_features(spark)
+    cfg = _geom_cfg(9)
+    t0 = time.time()
+    n_h = _geom_tiles(spark, feats, cfg, True)
+    t_h = time.time() - t0
+    t0 = time.time()
+    n_f = _geom_tiles(spark, feats, cfg, False)
+    t_f = time.time() - t0
+    assert n_h == n_f, (n_h, n_f)
+    return {"tiles": n_h, "basezoom": 9,
+            "hier_seconds": round(t_h, 2), "flat_seconds": round(t_f, 2),
+            "hier_speedup": round(t_f / t_h, 2)}
 
 
 def main() -> None:
@@ -186,9 +222,11 @@ def main() -> None:
     e2e = run_e2e(spark, n_pages, f"/tmp/bench_run_{CPUS}")
 
     e2e_geom = None
+    e2e_geom_pair = None
     queries: dict = {}
     if "--e2e-only" not in sys.argv:
         e2e_geom = run_e2e_geom(spark)
+        e2e_geom_pair = run_e2e_geom_pair(spark)
         import __spark_entry__ as entrymod
         qs = entrymod.queries()
         for name in BENCH_QUERIES:
@@ -205,6 +243,7 @@ def main() -> None:
         "sf": sf,
         "e2e": e2e,
         "e2e_geom": e2e_geom,
+        "e2e_geom_pair": e2e_geom_pair,
         "cpus": CPUS,
     }
     print(json.dumps(out))

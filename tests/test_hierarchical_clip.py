@@ -218,10 +218,16 @@ def test_pipeline_hierarchical_config(spark, tmp_path_factory):
         wd = str(tmp_path_factory.mktemp(f"hier_{flag}"))
         pipe = TilePipeline(spark, cfg, workdir=wd)
         tiles = pipe.run(pages, nodes=nodes, ways=ways, force=True)
-        outs[flag] = {(r.z, r.x, r.y): r.n_features for r in tiles.collect()}
+        rows = tiles.collect()
+        outs[flag] = {(r.z, r.x, r.y): r.n_features for r in rows}
+        # full rendered content, canonical ring rotation (the verdict's
+        # pipeline-level equivalence, not just counts)
+        outs[(flag, "content")] = {k: _norm(v)
+                                   for k, v in _tiles_map(rows).items()}
         # resume works on the new layout
         pipe2 = TilePipeline(spark, cfg, workdir=wd)
         t2 = pipe2.run(pages, nodes=nodes, ways=ways)
         assert pipe2.metrics["stages"]["tiles"].get("resumed") is True
         assert t2.count() == len(outs[flag])
     assert outs[True] == outs[False]
+    assert outs[(True, "content")] == outs[(False, "content")]

@@ -157,3 +157,37 @@ def test_mbtiles_read_view_backed(spark, tiles_df, tmp_path):
     back = sinks.read_mbtiles(spark, path, chunk_rows=7)
     got = {(r.z, r.x, r.y): bytes(r.tile) for r in back.collect()}
     assert got == expected
+
+
+def test_pmtiles_leaf_directories(spark, tmp_path):
+    """A >50k-entry archive whose root provably exceeds the 16 KiB
+    budget must spill to leaf directories and read back byte-identical
+    (round-2 verdict item 4; PMTiles v3 spec §3-4)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n = 52_000
+    seen = set()
+    rows = []
+    while len(rows) < n:
+        x = int(rng.integers(0, 1 << 14))
+        y = int(rng.integers(0, 1 << 14))
+        if (x, y) in seen:
+            continue
+        seen.add((x, y))
+        ln = int(rng.integers(20, 60))
+        rows.append((14, x, y, bytes(rng.integers(0, 256, ln,
+                                                  dtype=np.uint8))))
+    df = spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+    path = str(tmp_path / "big.pmtiles")
+    assert sinks.write_pmtiles(df, path, {"name": "big"}) == n
+    import struct as _struct
+    with open(path, "rb") as f:
+        header = f.read(127)
+    root_len, leaf_len = _struct.unpack_from("<Q", header, 16)[0], \
+        _struct.unpack_from("<Q", header, 48)[0]
+    assert leaf_len > 0, "root must have spilled to leaves"
+    assert root_len <= 16384 - 127
+    back = sinks.read_pmtiles(spark, path)
+    a = {(r.z, r.x, r.y): bytes(r.tile) for r in df.collect()}
+    b = {(r.z, r.x, r.y): bytes(r.tile) for r in back.collect()}
+    assert a == b

@@ -515,6 +515,221 @@ def simplify_dp(coords: np.ndarray, tolerance: float) -> np.ndarray:
     return pts[keep]
 
 
+def _segs_hit_count(p: np.ndarray, q: np.ndarray, segs: np.ndarray) -> int:
+    """Count segments (k,4 array: x0,y0,x1,y1) intersecting segment p→q,
+    endpoint-touching inclusive (boost segment-segment `intersects`
+    semantics) — the vectorized stand-in for the reference's R-tree
+    query (src/geom.cpp:57-62)."""
+    if segs.size == 0:
+        return 0
+    a0x, a0y = segs[:, 0], segs[:, 1]
+    a1x, a1y = segs[:, 2], segs[:, 3]
+    rx, ry = q[0] - p[0], q[1] - p[1]
+    d1 = rx * (a0y - p[1]) - ry * (a0x - p[0])
+    d2 = rx * (a1y - p[1]) - ry * (a1x - p[0])
+    sx, sy = a1x - a0x, a1y - a0y
+    d3 = sx * (p[1] - a0y) - sy * (p[0] - a0x)
+    d4 = sx * (q[1] - a0y) - sy * (q[0] - a0x)
+    straddle1 = ((d1 <= 0) & (d2 >= 0)) | ((d1 >= 0) & (d2 <= 0))
+    straddle2 = ((d3 <= 0) & (d4 >= 0)) | ((d3 >= 0) & (d4 <= 0))
+    bb = ((np.minimum(a0x, a1x) <= max(p[0], q[0]))
+          & (np.maximum(a0x, a1x) >= min(p[0], q[0]))
+          & (np.minimum(a0y, a1y) <= max(p[1], q[1]))
+          & (np.maximum(a0y, a1y) >= min(p[1], q[1])))
+    return int(np.count_nonzero(straddle1 & straddle2 & bb))
+
+
+def _ring_segs(ring: np.ndarray) -> np.ndarray:
+    """(n,4) segment array of a closed ring given open vertices."""
+    c = np.vstack([ring, ring[:1]])
+    return np.hstack([c[:-1], c[1:]])
+
+
+def ring_perimeter(ring: np.ndarray) -> float:
+    """Closed-ring perimeter of an open vertex list."""
+    d = np.diff(np.vstack([ring, ring[:1]]), axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def simplify_ring_topo(ring: np.ndarray, tol: float,
+                       other_segs: np.ndarray | None = None) -> np.ndarray:
+    """G7 — topology-guarded ring simplification, reference parity with
+    simplify_ring (src/geom.cpp:15-75):
+
+    * backwards scan removing one middle vertex at a time;
+    * a vertex lying on the ring's own bbox envelope is never removed
+      (extreme points anchor the ring);
+    * removal criterion: max perpendicular distance of ALL ORIGINAL
+      vertices spanned by the replacement segment < tol (not just the
+      candidate vertex — accumulated error stays bounded);
+    * topology guard: the replacement segment must intersect exactly
+      the (up to 4) surviving segments adjacent to it and NOTHING else
+      — neither the rest of this ring nor ``other_segs`` (segments of
+      sibling rings: holes guard against the outer and vice versa), so
+      a simplified outer can never cross its holes or itself.
+
+    Input/output rings are open (no closing duplicate). O(n) candidate
+    × O(n) guard = O(n²) worst case — rings here are per-tile clipped
+    pieces, so n is bounded by the piece, not the source geometry.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    n = len(ring)
+    if tol <= 0 or n < 4:
+        return ring
+    a = np.vstack([ring, ring[:1]])  # closed: m = n+1 vertices
+    m = len(a)
+    env_min = a.min(axis=0)
+    env_max = a.max(axis=0)
+    on_env = ((a[:, 0] == env_min[0]) | (a[:, 1] == env_min[1])
+              | (a[:, 0] == env_max[0]) | (a[:, 1] == env_max[1]))
+    if other_segs is None:
+        other_segs = np.empty((0, 4), dtype=np.float64)
+    nodes = list(range(m))
+    for entry in range(m - 3, -1, -1):
+        start, middle, end = nodes[entry], nodes[entry + 1], nodes[entry + 2]
+        if on_env[middle]:
+            continue
+        p, q = a[start], a[end]
+        span = a[start + 1:end]
+        ab = q - p
+        ab2 = float(ab @ ab)
+        d = span - p
+        if ab2 == 0.0:
+            dist2 = np.sum(d * d, axis=1)
+        else:
+            t = np.clip((d @ ab) / ab2, 0.0, 1.0)
+            dd = span - (p + t[:, None] * ab)
+            dist2 = np.sum(dd * dd, axis=1)
+        if dist2.size and float(dist2.max()) >= tol * tol:
+            continue
+        na = np.asarray(nodes)
+        own = np.hstack([a[na[:-1]], a[na[1:]]])
+        cnt = (_segs_hit_count(p, q, own)
+               + _segs_hit_count(p, q, other_segs))
+        if cnt == min(4, len(nodes) - 1):
+            del nodes[entry + 1]
+    return a[np.asarray(nodes[:-1])]
+
+
+def _rings_touch(r1: np.ndarray, r2: np.ndarray) -> bool:
+    """Cheap areal `intersects`: bbox overlap, then boundary crossing or
+    containment of a representative vertex."""
+    if (r1[:, 0].max() < r2[:, 0].min() or r2[:, 0].max() < r1[:, 0].min()
+            or r1[:, 1].max() < r2[:, 1].min()
+            or r2[:, 1].max() < r1[:, 1].min()):
+        return False
+    segs2 = _ring_segs(r2)
+    c1 = np.vstack([r1, r1[:1]])
+    for i in range(len(c1) - 1):
+        if _segs_hit_count(c1[i], c1[i + 1], segs2):
+            return True
+    return (point_in_ring(float(r1[0, 0]), float(r1[0, 1]), r2)
+            or point_in_ring(float(r2[0, 0]), float(r2[0, 1]), r1))
+
+
+def _simplify_combine_rings(rings: list, new: np.ndarray,
+                            sign: float) -> None:
+    """simplify_combine parity (include/geom.h:50-71): append ``new``,
+    then union it with any existing ring it intersects whenever the
+    union collapses to a single ring; repeat until stable. ``sign`` is
+    the winding convention (sign of ring_area) the caller's rings use —
+    overlay output is reoriented to it."""
+    from tilemaker_spark.functions import overlay as OV
+    rings.append(new)
+    i = 0
+    while i < len(rings) - 1:
+        if not _rings_touch(rings[i], rings[-1]):
+            i += 1
+            continue
+        try:
+            u = OV.union_many([[rings[i]], [rings[-1]]])
+        except Exception:
+            i += 1
+            continue
+        if len(u) != 1:
+            i += 1
+            continue
+        merged = np.asarray(u[0], dtype=np.float64)
+        if len(merged) < 3:
+            i += 1
+            continue
+        if (ring_area(merged) > 0) != (sign > 0):
+            merged = merged[::-1]
+        rings[-1] = merged
+        del rings[i]
+
+
+def simplify_polygon_parts_topo(parts: list, tol: float) -> list:
+    """G7 — polygon-level guarded simplification, parity with the
+    reference's simplify(Polygon) / simplify(MultiPolygon)
+    (src/geom.cpp:77-136, invoked per tile at
+    src/tile_worker.cpp:220-228):
+
+    * each hole is simplified guarded against the UN-simplified outer;
+      holes that shrink below 3 vertices or perimeter ≤ 3·tol are
+      dropped; holes that meet after simplification merge
+      (simplify_combine);
+    * the outer is then simplified guarded against the surviving
+      holes; the polygon survives only if the outer keeps ≥ 3 vertices
+      and perimeter > 3·tol;
+    * finally polygons whose outers meet after simplification merge.
+
+    ``parts`` is a flat ring list in the iter_polygons sign convention
+    (holes wound opposite to outers); the convention is preserved.
+    """
+    if tol <= 0:
+        return parts
+    from tilemaker_spark.functions import overlay as OV
+    out_polys: list = []
+    outer_sign = 1.0
+    for outer, inners in iter_polygons(parts):
+        outer_sign = 1.0 if ring_area(outer) >= 0 else -1.0
+        outer_segs = _ring_segs(outer)
+        new_inners: list = []
+        for inner in inners:
+            si = simplify_ring_topo(inner, tol, outer_segs)
+            if len(si) >= 3 and ring_perimeter(si) > 3 * tol:
+                _simplify_combine_rings(new_inners, si, -outer_sign)
+        guard = (np.vstack([_ring_segs(r) for r in new_inners])
+                 if new_inners else None)
+        so = simplify_ring_topo(outer, tol, guard)
+        if len(so) >= 3 and ring_perimeter(so) > 3 * tol:
+            out_polys.append([so] + new_inners)
+    # MultiPolygon-level simplify_combine: union polygons whose union
+    # is a single polygon (one outer, any holes)
+    combined: list = []
+    for poly in out_polys:
+        combined.append(poly)
+        i = 0
+        while i < len(combined) - 1:
+            if not _rings_touch(combined[i][0], combined[-1][0]):
+                i += 1
+                continue
+            try:
+                u = OV.union_many([combined[i], combined[-1]])
+            except Exception:
+                i += 1
+                continue
+            outs = [r for r in u if ring_area(r) > 0]
+            if len(outs) != 1:
+                i += 1
+                continue
+            poly_rings = []
+            for r in u:
+                r = np.asarray(r, dtype=np.float64)
+                if len(r) < 3:
+                    continue
+                is_outer = ring_area(r) > 0
+                want = outer_sign if is_outer else -outer_sign
+                if (ring_area(r) > 0) != (want > 0):
+                    r = r[::-1]
+                poly_rings.append(r)
+            # outer first (union output is already outer-then-holes)
+            combined[-1] = poly_rings
+            del combined[i]
+    return [r for poly in combined for r in poly]
+
+
 def simplify_visvalingam(coords: np.ndarray, tolerance: float,
                          is_ring: bool = False) -> np.ndarray:
     """Visvalingam-Whyatt effective-area simplification.

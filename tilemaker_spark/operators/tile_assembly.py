@@ -328,9 +328,18 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
                     # F7 — drop parts/holes below zoom-scaled area
                     clipped = [r for r in clipped
                                if abs(G.ring_area(r)) >= min_area]
+                if tol > 0 and lc.simplify_algorithm == "douglas-peucker":
+                    # G7 — topology-guarded polygon simplification
+                    # (reference simplify(), src/geom.cpp:77-136): holes
+                    # guard the outer and vice versa, perimeter>3·tol
+                    # keep rule, simplify_combine merging
+                    simplified = G.simplify_polygon_parts_topo(clipped, tol)
+                else:
+                    simplified = [
+                        _simplify_part(r, tol, lc.simplify_algorithm, True)
+                        for r in clipped]
                 out_rings = []
-                for ring in clipped:
-                    s = _simplify_part(ring, tol, lc.simplify_algorithm, True)
+                for s in simplified:
                     if len(s) < 3:
                         continue
                     qx, qy = bbox.scale_xy(s[:, 0], s[:, 1])

@@ -153,14 +153,28 @@ class TilePipeline:
 
         # Stage 2 — feature_tiles at basezoom + rollup + gates
         if cfg.hierarchical_clip:
-            # clip-cache recast: identical tile assignments, pieces
-            # pre-clipped top-down (see tiling.cover_clip_explode) —
-            # per-zoom pieces genuinely differ, so the checkpoint holds
-            # every zoom's rows
+            # clip-cache recast (default path): identical tile
+            # assignments, line/polygon pieces pre-clipped top-down
+            # (see tiling.cover_clip_explode) — per-zoom pieces
+            # genuinely differ, so the geometry checkpoint holds every
+            # zoom's rows. POINTS stay on the compact basezoom-only
+            # cover + post-read rollup: clipping a point is free, and a
+            # point-dominant workload (the pages table) would otherwise
+            # pay a (basezoom - minzoom)x larger checkpoint for nothing.
             from tilemaker_spark.operators.tiling import cover_clip_explode
-            ft = cover_clip_explode(feats, cfg.minzoom, cfg.basezoom,
-                                    hires=cfg.high_resolution)
-            ft = self._checkpoint(ft, "feature_tiles", force=force)
+            pts = feats.filter(F.col("geom_type") == 1)
+            geoms = feats.filter(F.col("geom_type") != 1)
+            ftp = cover_explode(pts, cfg.basezoom)
+            ftp = self._checkpoint(ftp, "feature_tiles", force=force)
+            # the geom_type filter makes pre-split (round-2 flat)
+            # workdirs resumable too: their checkpoint also holds
+            # line/polygon rows, which now live in feature_tiles_geom
+            ftp = ancestor_rollup(ftp.filter(F.col("geom_type") == 1),
+                                  cfg.minzoom, cfg.basezoom)
+            ftg = cover_clip_explode(geoms, cfg.minzoom, cfg.basezoom,
+                                     hires=cfg.high_resolution)
+            ftg = self._checkpoint(ftg, "feature_tiles_geom", force=force)
+            ft = ftp.unionByName(ftg)
         else:
             # checkpoint ONLY the basezoom assignment: the ancestor
             # rollup is deterministic shift math, so re-deriving it

@@ -253,12 +253,43 @@ def _pm_serialize_dir(entries) -> bytes:
     return bytes(out)
 
 
+# PMTiles v3: the root directory must stay small enough that clients
+# can fetch header+root in one initial 16 KiB request (spec §3; the
+# reference writer spills to leaves the same way, src/pmtiles.cpp:16-
+# 118). Entries beyond this move to a leaf-directory layer.
+_PM_MAX_ROOT_BYTES = 16384 - 127
+
+
+def _pm_build_directories(entries):
+    """(root_bytes, leaves_blob): spill to one leaf layer when the
+    serialized+compressed root exceeds the 16 KiB initial-fetch budget.
+    Leaf-pointer entries use run_length == 0 with offset relative to
+    the leaf section (PMTiles v3 spec §4)."""
+    root = gzip.compress(_pm_serialize_dir(entries))
+    if len(root) <= _PM_MAX_ROOT_BYTES:
+        return root, b""
+    leaf_size = 4096
+    while True:
+        root_entries = []
+        leaf_blob = bytearray()
+        for i in range(0, len(entries), leaf_size):
+            chunk = entries[i:i + leaf_size]
+            ser = gzip.compress(_pm_serialize_dir(chunk))
+            root_entries.append((chunk[0][0], len(leaf_blob), len(ser), 0))
+            leaf_blob += ser
+        root = gzip.compress(_pm_serialize_dir(root_entries))
+        if len(root) <= _PM_MAX_ROOT_BYTES or leaf_size > len(entries):
+            return root, bytes(leaf_blob)
+        leaf_size *= 2
+
+
 def write_pmtiles(tiles: DataFrame, path: str,
                   metadata: dict | None = None) -> int:
     """Export tiles to a PMTiles v3 archive (clustered, Hilbert order,
-    run-length dedup of identical consecutive tiles). Root-directory
-    only (fine for sandbox scales; leaf dirs are an export-time concern,
-    not an engine one). Returns addressed tile count."""
+    run-length dedup of identical consecutive tiles, leaf directories
+    when the root exceeds the spec's 16 KiB initial-fetch budget — a
+    planet archive's millions of entries are representable).
+    Returns addressed tile count."""
     ordered = with_tileid(tiles).repartitionByRange(32, "tileid") \
         .sortWithinPartitions("tileid")
     entries = []  # (tileid, offset, length, run_length)
@@ -285,14 +316,14 @@ def write_pmtiles(tiles: DataFrame, path: str,
             entries[-1] = (tid0, o0, l0, rl + 1)
         else:
             entries.append((row.tileid, off, ln, 1))
-    root = gzip.compress(_pm_serialize_dir(entries))
+    root, leaves = _pm_build_directories(entries)
     meta = gzip.compress(json.dumps(metadata or {}).encode())
     root_off = 127
     meta_off = root_off + len(root)
     leaf_off = meta_off + len(meta)
-    data_off = leaf_off
+    data_off = leaf_off + len(leaves)
     header = _pm_header(root_off, len(root), meta_off, len(meta),
-                        leaf_off, 0, data_off, len(data),
+                        leaf_off, len(leaves), data_off, len(data),
                         n_addressed, len(entries), len(seen_ranges),
                         True, 0 if minz == 99 else minz, maxz,
                         (-180.0, -85.06, 180.0, 85.06))
@@ -300,25 +331,13 @@ def write_pmtiles(tiles: DataFrame, path: str,
         f.write(header)
         f.write(root)
         f.write(meta)
+        f.write(leaves)
         f.write(bytes(data))
     return n_addressed
 
 
-def read_pmtiles(spark, path: str, chunk_tiles: int = 20_000) -> DataFrame:
-    """Read back a root-directory PMTiles archive into a tiles DF.
-
-    Scale path (mirrors read_mbtiles): the driver reads only the 127-
-    byte header + the gzip'd root directory (KBs even for millions of
-    entries), builds a (z, x, y, offset, length) index DataFrame, and
-    executors fetch their tile byte ranges with seek+read — the tile
-    DATA never flows through the driver."""
-    with open(path, "rb") as f:
-        header = f.read(127)
-        assert header[0:7] == _PM_MAGIC and header[7] == _PM_VERSION
-        (root_off, root_len, _mo, _ml, _lo, _ll, data_off, _dl) = \
-            struct.unpack_from("<QQQQQQQQ", header, 8)
-        f.seek(root_off)
-        d = gzip.decompress(f.read(root_len))
+def _pm_parse_dir(d: bytes) -> list:
+    """Inverse of _pm_serialize_dir: bytes -> [(tid, off, ln, rl)]."""
     pos = 0
 
     def rv():
@@ -348,8 +367,36 @@ def read_pmtiles(spark, path: str, chunk_tiles: int = 20_000) -> DataFrame:
         off = prev_off + prev_len if v == 0 else v - 1
         offs.append(off)
         prev_off, prev_len = off, lens[i]
+    return list(zip(tids, offs, lens, rls))
+
+
+def read_pmtiles(spark, path: str, chunk_tiles: int = 20_000) -> DataFrame:
+    """Read back a PMTiles v3 archive (root + leaf directories) into a
+    tiles DF.
+
+    Scale path (mirrors read_mbtiles): the driver reads only the 127-
+    byte header + the gzip'd directories (KBs root + the leaf layer,
+    still metadata-sized even for millions of entries), builds a
+    (z, x, y, offset, length) index DataFrame, and executors fetch
+    their tile byte ranges with seek+read — the tile DATA never flows
+    through the driver."""
+    with open(path, "rb") as f:
+        header = f.read(127)
+        assert header[0:7] == _PM_MAGIC and header[7] == _PM_VERSION
+        (root_off, root_len, _mo, _ml, leaf_off, _leaf_len, data_off,
+         _dl) = struct.unpack_from("<QQQQQQQQ", header, 8)
+        f.seek(root_off)
+        root = _pm_parse_dir(gzip.decompress(f.read(root_len)))
+        entries = []
+        for tid, off, ln, rl in root:
+            if rl == 0:
+                # leaf-directory pointer (offset relative to leaf section)
+                f.seek(leaf_off + off)
+                entries.extend(_pm_parse_dir(gzip.decompress(f.read(ln))))
+            else:
+                entries.append((tid, off, ln, rl))
     index = []
-    for tid, rl, ln, off in zip(tids, rls, lens, offs):
+    for tid, off, ln, rl in entries:
         for k in range(rl):
             z, x, y = tileid_to_zxy(tid + k)
             index.append((z, x, y, data_off + off, ln))
