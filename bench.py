@@ -227,6 +227,9 @@ def main() -> None:
     if "--e2e-only" not in sys.argv:
         e2e_geom = run_e2e_geom(spark)
         e2e_geom_pair = run_e2e_geom_pair(spark)
+        # drop any cached state the e2e phases left behind so query
+        # timings measure the queries, not storage-memory contention
+        spark.catalog.clearCache()
         import __spark_entry__ as entrymod
         qs = entrymod.queries()
         for name in BENCH_QUERIES:

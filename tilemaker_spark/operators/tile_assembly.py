@@ -567,6 +567,7 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
 
     cold = partial.join(hk, ["z", "x", "y"], "left_anti")
     hot_partial = partial.join(hk, ["z", "x", "y"], "left_semi")
+    _internal_persists = [partial, hot_keys]
 
     compress_mode = config.compress
 
@@ -628,4 +629,10 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
                                "z", "x", "y")
                   .sortWithinPartitions("z", "x", "y")
                   .mapInPandas(merge_stream, schema=TILE_SCHEMA))
-    return cold.unionByName(merged_hot)
+    out = cold.unionByName(merged_hot)
+    # the two internal caches feed only this plan; callers that
+    # materialize the result (e.g. TilePipeline's checkpoint) should
+    # release them afterwards so long-lived sessions don't accumulate
+    # storage memory across runs
+    out._internal_persists = _internal_persists
+    return out

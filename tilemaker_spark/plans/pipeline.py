@@ -208,14 +208,21 @@ class TilePipeline:
         # passes would re-derive it from the basezoom checkpoint.
         from pyspark import StorageLevel
         ft = ft.persist(StorageLevel.MEMORY_AND_DISK)
+        lazy_tiles = None
         try:
             if cfg.hot_tile_salt > 1:
                 tiles = assemble_tiles_salted(ft, cfg)
             else:
                 tiles = assemble_tiles(ft, cfg)
+            lazy_tiles = tiles
             tiles = self._checkpoint(tiles, "tiles", force=force)
         finally:
             ft.unpersist()
+            # the checkpoint materialized the plan; release the salted
+            # path's internal caches so back-to-back runs in one session
+            # (benchmarks, notebooks) don't accumulate storage memory
+            for df in getattr(lazy_tiles, "_internal_persists", []):
+                df.unpersist()
 
         self.metrics["total_seconds"] = round(time.time() - t_start, 3)
         # tile count from parquet footers (no extra scan)
