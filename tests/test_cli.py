@@ -1,0 +1,67 @@
+"""CLI surface (options-parser parity, src/options_parser.cpp:20-43)."""
+
+import json
+import os
+
+import pytest
+
+from tilemaker_spark import cli
+
+MONACO = "/root/reference/test/monaco.pbf"
+
+
+def test_cli_pages_to_mbtiles(spark, tmp_path):
+    out = str(tmp_path / "out.mbtiles")
+    store = str(tmp_path / "store")
+    m = cli.main(["/root/testdata/sf0.001", "--output", out,
+                  "--store", store, "--quiet", "--force"], spark=spark)
+    assert m["written"] and os.path.exists(out)
+    from tilemaker_spark import sinks
+    back = sinks.read_mbtiles(spark, out)
+    assert back.count() == m["written"]
+
+
+def test_cli_bbox_and_config(spark, tmp_path):
+    cfgp = str(tmp_path / "config.json")
+    with open(cfgp, "w") as f:
+        json.dump({"settings": {"basezoom": 8, "maxzoom": 8}}, f)
+    out = str(tmp_path / "t.pmtiles")
+    m = cli.main(["/root/testdata/sf0.001", "--output", out,
+                  "--config", cfgp, "--bbox=-20,30,40,60",
+                  "--store", str(tmp_path / "s"), "--quiet", "--force"],
+                 spark=spark)
+    assert os.path.exists(out)
+    from tilemaker_spark import sinks
+    zs = {r.z for r in sinks.read_pmtiles(spark, out).select("z").collect()}
+    assert max(zs) <= 8
+
+
+def test_cli_merge(spark, tmp_path):
+    out = str(tmp_path / "m.mbtiles")
+    a = cli.main(["/root/testdata/sf0.001", "--output", out,
+                  "--store", str(tmp_path / "s1"), "--quiet", "--force"],
+                 spark=spark)
+    b = cli.main(["/root/testdata/sf0.001", "--output", out, "--merge",
+                  "--store", str(tmp_path / "s1"), "--quiet"],
+                 spark=spark)
+    from tilemaker_spark import sinks
+    assert sinks.read_mbtiles(spark, out).count() == a["written"]
+
+
+@pytest.mark.skipif(not os.path.exists(MONACO),
+                    reason="monaco fixture unavailable")
+def test_cli_pbf_with_process_profile(spark, tmp_path):
+    from tilemaker_spark.operators.profile_compiler import EXAMPLE_PROFILE
+    prof = str(tmp_path / "profile.json")
+    with open(prof, "w") as f:
+        json.dump(EXAMPLE_PROFILE, f)
+    cfgp = str(tmp_path / "config.json")
+    with open(cfgp, "w") as f:
+        json.dump({"settings": {"basezoom": 13, "minzoom": 12,
+                                "maxzoom": 13}}, f)
+    out = str(tmp_path / "monaco")
+    m = cli.main([MONACO, "--output", out, "--process", prof,
+                  "--config", cfgp, "--store", str(tmp_path / "s"),
+                  "--quiet", "--force"], spark=spark)
+    assert m["written"] > 0
+    assert os.path.exists(os.path.join(out, "metadata.json"))

@@ -108,6 +108,7 @@ class TilePipeline:
             ways: DataFrame | None = None,
             relations: DataFrame | None = None,
             layer_polygons: DataFrame | None = None,
+            extra_features: DataFrame | None = None,
             force: bool = False) -> DataFrame:
         """pages [+ ways [+ relations]] [⋈ layer_polygons] -> tiles.
 
@@ -149,6 +150,9 @@ class TilePipeline:
                     features_from_relations)
                 feats = feats.unionByName(
                     features_from_relations(relations, ways, nodes))
+        if extra_features is not None:
+            # pre-built feature rows (e.g. a compiled --process profile)
+            feats = feats.unionByName(extra_features, allowMissingColumns=True)
         feats = self._checkpoint(feats, "features", force=force)
 
         # Stage 2 — feature_tiles at basezoom + rollup + gates
