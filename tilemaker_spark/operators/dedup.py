@@ -91,6 +91,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 2,
 
 # ---------------------------------------------------------- MinHash + LSH
 
+def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(docs: DataFrame, n: int = 2, k: int = 16) -> DataFrame:
     """k-wide MinHash signature per doc: columns doc_id, h0..h{k-1}.
 
@@ -99,10 +105,7 @@ def minhash_signatures(docs: DataFrame, n: int = 2, k: int = 16) -> DataFrame:
     (string min == numeric min for fixed-width hex).
     One explode + one partial-aggregated groupBy — scales linearly.
     """
-    sh = shingles(docs, n)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
-            .alias(f"h{i}") for i in range(k)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _signatures_from_shingles(shingles(docs, n), k)
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
@@ -112,10 +115,21 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
 
     Bands of `rows_per_band` signature components are hashed; a pair
     becomes a candidate if ANY band collides; candidates are then
-    verified with the exact n-gram Jaccard (computed only for candidate
+    verified with the exact Jaccard (computed only for candidate
     pairs). Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    The distinct-shingle table feeds FOUR subtrees (signatures, sizes,
+    both sides of the verify join); Spark does not share that common
+    subplan across joins (measured: 12 corpus scans / 26 exchanges,
+    zero ReusedExchange), so it is persisted once — the canonical LSH
+    signature-matrix materialization. The handle is attached to the
+    result as ``_internal_persists`` for callers that want to release
+    it after materializing.
     """
-    sig = minhash_signatures(docs, n, k)
+    from pyspark import StorageLevel
+
+    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_shingles(sh, k)
     n_bands = k // rows_per_band
     bands = []
     for b in range(n_bands):
@@ -133,7 +147,6 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
     # exact-jaccard verification restricted to candidate pairs: the
     # shingle join is anchored on the candidate list (linear in
     # |candidates| * shingles/doc), never the all-pairs O(sum cnt^2)
-    sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"),
                     F.col("shingle").alias("sh"))
@@ -145,12 +158,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
              .agg(F.count("*").alias("inter")))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (inter.join(na, "doc_a").join(nb, "doc_b")
-            .withColumn("jaccard",
-                        F.round(F.col("inter") /
-                                (F.col("na") + F.col("nb") - F.col("inter")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    out = (inter.join(na, "doc_a").join(nb, "doc_b")
+           .withColumn("jaccard",
+                       F.round(F.col("inter") /
+                               (F.col("na") + F.col("nb") - F.col("inter")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("doc_a", "doc_b", "jaccard"))
+    out._internal_persists = [sh]
+    return out
 
 
 # ----------------------------------------------------------------- SimHash

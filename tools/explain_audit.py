@@ -25,7 +25,8 @@ AUDIT = [
     "way_join_agg", "topk_per_group", "semi_join_reduction", "agg_pushdown",
     "dedup_minhash_lsh", "embedding_topk", "embedding_ivf_topk",
     "area_join_concave", "tiles_e2e_bbox", "bpe_token_count",
-    "stream_window_counts", "embedding_neardup",
+    "stream_window_counts", "embedding_neardup", "declarative_profile",
+    "relations_scalars",
 ]
 
 
