@@ -125,3 +125,68 @@ def test_windowed_tile_counts_streaming(spark, tmp_path_factory):
             for r in batch.collect()}
     assert got == want
     assert len(want) > 10
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closure plus
+    event-time-timeout eviction across microbatches; semantics match
+    the batch sessionize_events oracle twin."""
+    import time
+
+    from tilemaker_spark.streaming.stateful import (
+        OUTPUT_SCHEMA, sessionize_stream)
+
+    src = str(tmp_path / "events_in")
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    t0 = 1_700_000_000
+
+    def write_events(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts long") \
+            .withColumn("event_ts", F.col("ts").cast("timestamp")) \
+            .drop("ts")
+        stage = f"{src}/_st_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        f = [x for x in os.listdir(stage) if x.endswith(".parquet")][0]
+        shutil.move(f"{stage}/{f}", f"{src}/{name}.parquet")
+        shutil.rmtree(stage)
+
+    def run_once():
+        events = (spark.readStream
+                  .schema("user_id long, event_ts timestamp")
+                  .parquet(src))
+        q = (sessionize_stream(events, gap_minutes=30)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def sessions():
+        try:
+            return {(r.user_id, r.session_start, r.session_end,
+                     r.n_events)
+                    for r in spark.read.schema(OUTPUT_SCHEMA)
+                    .parquet(out).collect()}
+        except Exception:
+            return set()
+
+    # batch 0: user 1 has an IN-BATCH gap (2 sessions); user 2's lone
+    # event times out within run 0's trailing no-data microbatch (the
+    # watermark advances to max_ts - 1min = t0+5340 > t0+100+gap)
+    write_events("b0", [(1, t0), (1, t0 + 300), (1, t0 + 5400),
+                        (2, t0 + 100)])
+    run_once()
+    got1 = sessions()
+    assert (1, t0, t0 + 300, 2) in got1  # closed in-batch
+    assert (2, t0 + 100, t0 + 100, 1) in got1  # closed by timeout
+    assert not any(s == t0 + 5400 for _, s, *_ in got1)  # still open
+
+    # batch 1 much later: watermark passes the open session's
+    # last+gap -> evicted via event-time timeout; user 3 stays open
+    write_events("b1", [(3, t0 + 10000)])
+    run_once()
+    got2 = sessions()
+    assert (1, t0 + 5400, t0 + 5400, 1) in got2
+    assert not any(u == 3 for u, *_ in got2)
