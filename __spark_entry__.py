@@ -507,6 +507,25 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.size("fingerprints").alias("n_fp")))
 
 
+def _q_winnow_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing as a hash-checked SET: the selected fingerprint values
+    per doc (exploded, distinct). The DuckDB twin recomputes the SAME
+    polynomial k-gram hash (HUGEINT arithmetic mod 2^61-1) and the
+    rightmost-min window selection with window self-joins — so the
+    rolling-hash vectorization is value-checked, not just counted.
+    (Corpus is ASCII, so ord(char) == utf-8 byte on both sides.)"""
+    from tilemaker_spark.operators.text_analysis import winnow_fingerprints
+    d = _docs(spark, sf_dir)
+    return (winnow_fingerprints(d, k=WINNOW_K, window=WINNOW_W)
+            .select("doc_id", F.explode("fingerprints").alias("fp"))
+            .dropDuplicates())
+
+
+WINNOW_K = 5
+WINNOW_W = 4
+_WINNOW_B, _WINNOW_M = 257, (1 << 61) - 1
+
+
 # Rule set for the oracle-checked declarative-profile query: exercises
 # every match operator (presence *, equality, !negation, value-list)
 # plus min_zoom_map, $tag attr substitution, and z_order_tag — the
@@ -707,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relations_multipolygon": _q_relations,
         "relations_scalars": _q_relations_scalars,
         "winnow_fingerprints": _q_winnow,
+        "winnow_select": _q_winnow_select,
         "media_image_stats": _q_media_decode,
         "media_embed_knn": _q_media_embed_knn,
         "declarative_profile": _q_declarative_profile,
@@ -1252,6 +1272,44 @@ f AS (
 SELECT feature_id, layer, CAST(n_rings AS INT) AS n_rings,
        round(area, 9) AS area9
 FROM f"""
+
+    # Winnowing twin: same polynomial k-gram hash (HUGEINT mod 2^61-1),
+    # rightmost-min window selection via self-join + row_number.
+    _wp = [pow(_WINNOW_B, WINNOW_K - 1 - j, _WINNOW_M)
+           for j in range(WINNOW_K)]
+    _terms = " + ".join(
+        f"(ord(substr(text, CAST(i+{j} AS INT), 1))::HUGEINT * {_wp[j]})"
+        for j in range(WINNOW_K))
+    q["winnow_select"] = f"""
+WITH pos AS (
+  SELECT doc_id, text, CAST(i AS BIGINT) AS i
+  FROM documents, UNNEST(range(1, length(text) - {WINNOW_K} + 2)) t(i)
+),
+h AS (
+  SELECT doc_id, i, CAST((({_terms}) % {_WINNOW_M}) AS BIGINT) AS h
+  FROM pos
+),
+m AS (SELECT doc_id, COUNT(*) AS m FROM h GROUP BY doc_id),
+small AS (
+  SELECT h.doc_id, MIN(h.h) AS fp FROM h JOIN m USING (doc_id)
+  WHERE m.m <= {WINNOW_W} GROUP BY h.doc_id
+),
+win AS (
+  SELECT a.doc_id, a.i AS s, b.i AS j, b.h
+  FROM h a JOIN h b ON a.doc_id = b.doc_id
+    AND b.i BETWEEN a.i AND a.i + {WINNOW_W - 1}
+  JOIN m ON m.doc_id = a.doc_id AND m.m > {WINNOW_W}
+  WHERE a.i <= m.m - {WINNOW_W - 1}
+),
+sel AS (
+  SELECT doc_id, s, j, h,
+         row_number() OVER (PARTITION BY doc_id, s
+                            ORDER BY h ASC, j DESC) AS rn
+  FROM win
+)
+SELECT DISTINCT doc_id, h AS fp FROM sel WHERE rn = 1
+UNION
+SELECT doc_id, fp FROM small"""
 
     # winnow_fingerprints, tiles_e2e, relations_multipolygon, pbf_scan:
     # non-SQL-expressible (pandas-UDF rolling hash / binary MVT assembly /
