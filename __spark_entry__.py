@@ -491,6 +491,17 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("mean_intensity", 4).alias("mean_intensity"))
 
 
+def _q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media envelope roundtrip, hash-checked: the widths/heights
+    decoded from the packed image payload headers must equal the pure
+    arithmetic the generator used (doc_id%3==0 -> image, w=16+id%48,
+    h=16+7id%48) — validates the struct pack/unpack path through Spark
+    binary columns; pixel statistics stay rows-only (RNG-based)."""
+    from tilemaker_spark.operators import multimodal as MM
+    media = MM.make_media(spark, 300)
+    return MM.decode_images(media).select("doc_id", "width", "height")
+
+
 def _q_media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: image grid embeddings -> cosine top-3 (rows-only)."""
     from tilemaker_spark.operators import multimodal as MM
@@ -728,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "winnow_select": _q_winnow_select,
         "media_image_stats": _q_media_decode,
+        "media_image_dims": _q_media_dims,
         "media_embed_knn": _q_media_embed_knn,
         "declarative_profile": _q_declarative_profile,
         "pbf_scan": _q_pbf_scan,
@@ -1272,6 +1284,14 @@ f AS (
 SELECT feature_id, layer, CAST(n_rings AS INT) AS n_rings,
        round(area, 9) AS area9
 FROM f"""
+
+    # Media envelope twin: image rows are doc_id % 3 == 0 of range(300),
+    # dims are pure arithmetic of doc_id (see multimodal.make_media).
+    q["media_image_dims"] = """
+SELECT CAST(i AS BIGINT) AS doc_id,
+       CAST(16 + i % 48 AS INT) AS width,
+       CAST(16 + (i * 7) % 48 AS INT) AS height
+FROM range(300) t(i) WHERE i % 3 = 0"""
 
     # Winnowing twin: same polynomial k-gram hash (HUGEINT mod 2^61-1),
     # rightmost-min window selection via self-join + row_number.
