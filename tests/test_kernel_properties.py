@@ -120,3 +120,15 @@ def test_mvt_polygon_roundtrip(ring):
 def test_gzip_deterministic(blobs):
     tile = b"".join(blobs)
     assert mvt.compress_tile(tile, "gzip") == mvt.compress_tile(tile, "gzip")
+
+
+@given(st.lists(st.binary(min_size=0, max_size=500), min_size=1, max_size=4))
+@settings(max_examples=40, deadline=None)
+def test_gzip_byte_identical(blobs):
+    """The hand-assembled gzip stream must equal
+    gzip.compress(level=6, mtime=0) byte-for-byte (the byte-stability
+    invariant survives the fast path)."""
+    import gzip as _gzip
+    tile = b"".join(blobs)
+    assert mvt.compress_tile(tile, "gzip") == _gzip.compress(
+        tile, compresslevel=6, mtime=0)

@@ -289,7 +289,14 @@ def write_pmtiles(tiles: DataFrame, path: str,
     run-length dedup of identical consecutive tiles, leaf directories
     when the root exceeds the spec's 16 KiB initial-fetch budget — a
     planet archive's millions of entries are representable).
-    Returns addressed tile count."""
+    Returns addressed tile count.
+
+    Scale note: encode/compress/cluster are distributed upstream; the
+    final byte stream of a SINGLE-FILE archive necessarily serializes
+    through one writer (toLocalIterator keeps driver memory bounded at
+    one chunk — the cost is sequential IO, same as the reference's
+    single-file write). For a parallel sink use write_tile_directory
+    or the parquet checkpoints."""
     ordered = with_tileid(tiles).repartitionByRange(32, "tileid") \
         .sortWithinPartitions("tileid")
     entries = []  # (tileid, offset, length, run_length)
