@@ -96,3 +96,60 @@ def test_probe_bbox(spark):
         "name string, wkt string")
     layer = sources.read_wkt_layer(df, "test")
     assert sources.probe_bbox(layer) == (-3.0, -4.0, 10.0, 7.0)
+
+
+def _wkb_point(x, y, bo="<"):
+    import struct
+    return (b"\x01" if bo == "<" else b"\x00") + \
+        struct.pack(bo + "I", 1) + struct.pack(bo + "2d", x, y)
+
+
+def test_wkb_layer_scan(spark):
+    """WKB scan: LE/BE, ISO-Z, EWKB+SRID, polygon holes, multipolygon
+    flatten — all without external geo libs."""
+    import struct
+
+    def poly(rings, bo="<", ewkb_srid=None, iso_z=False):
+        t = 3 + (1000 if iso_z else 0)
+        head = (b"\x01" if bo == "<" else b"\x00")
+        if ewkb_srid is not None:
+            head += struct.pack(bo + "I", 3 | 0x20000000)
+            head += struct.pack(bo + "I", ewkb_srid)
+        else:
+            head += struct.pack(bo + "I", t)
+        out = head + struct.pack(bo + "I", len(rings))
+        for r in rings:
+            out += struct.pack(bo + "I", len(r))
+            for p in r:
+                coords = (p[0], p[1], 7.0) if iso_z else (p[0], p[1])
+                out += struct.pack(bo + f"{len(coords)}d", *coords)
+        return out
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)]
+    mp = (b"\x01" + struct.pack("<I", 6) + struct.pack("<I", 2)
+          + poly([sq]) + poly([[(10.0, 10.0), (11.0, 10.0),
+                                (11.0, 11.0), (10.0, 10.0)]]))
+    rows = [("pt", bytearray(_wkb_point(3.5, -2.25))),
+            ("pt_be", bytearray(_wkb_point(1.0, 2.0, bo=">"))),
+            ("poly_hole", bytearray(poly([sq, hole], bo=">"))),
+            ("poly_srid", bytearray(poly([sq], ewkb_srid=4326))),
+            ("poly_z", bytearray(poly([sq], iso_z=True))),
+            ("multi", bytearray(mp))]
+    df = spark.createDataFrame(rows, "name string, wkb binary")
+    out = {r.name: r for r in
+           sources.read_wkb_layer(df, "test").collect()}
+    import numpy as np
+    from tilemaker_spark.functions import geomnp as G
+    assert out["pt"].geom_type == 1
+    assert list(out["pt"].rings[0]) == [3.5, -2.25]
+    assert list(out["pt_be"].rings[0]) == [1.0, 2.0]
+    for key in ("poly_hole", "poly_srid", "poly_z"):
+        r = out[key]
+        assert r.geom_type == 3
+        outer = np.asarray(r.rings[0], float).reshape(-1, 2)
+        assert abs(abs(G.ring_area(outer)) - 16.0) < 1e-9, key
+    assert len(out["poly_hole"].rings) == 2
+    inner = np.asarray(out["poly_hole"].rings[1], float).reshape(-1, 2)
+    assert abs(abs(G.ring_area(inner)) - 1.0) < 1e-9
+    assert len(out["multi"].rings) == 2

@@ -175,6 +175,104 @@ def read_wkt_layer(df: DataFrame, layer: str,
                     attrs.alias("attrs")))
 
 
+# --------------------------------------------------------------- WKB
+
+_WKB_BASE = {1: G.GEOM_POINT, 2: G.GEOM_LINE, 3: G.GEOM_POLYGON,
+             4: G.GEOM_POINT, 5: G.GEOM_LINE, 6: G.GEOM_POLYGON}
+
+
+def _parse_wkb(buf: bytes):
+    """(geom_type, parts) from ISO WKB or PostGIS EWKB bytes.
+
+    Handles both dimension conventions (ISO type+1000/2000/3000 for
+    Z/M/ZM; EWKB 0x80000000/0x40000000 flag bits, 0x20000000 SRID) —
+    Z/M ordinates are parsed and dropped, SRID skipped. Multi*
+    geometries flatten into the engine's flat parts list (same shape as
+    the WKT/GeoJSON scans). No external geo libs: plain struct/numpy
+    over the spec (OGC 06-103r4 §8)."""
+    import struct as _s
+
+    def parse_geom(pos):
+        bo = "<" if buf[pos] == 1 else ">"
+        raw = _s.unpack_from(bo + "I", buf, pos + 1)[0]
+        pos += 5
+        if raw & 0x20000000:  # EWKB SRID present
+            pos += 4
+        dims = 2 + bool(raw & 0x80000000) + bool(raw & 0x40000000)
+        base = raw & 0x0FFFFFFF
+        if base >= 1000:  # ISO: 1000=Z 2000=M 3000=ZM
+            dims = {1: 3, 2: 3, 3: 4}[base // 1000]
+            base = base % 1000
+        if base in (1, 2, 3):
+            if base == 1:
+                vals = _s.unpack_from(f"{bo}{dims}d", buf, pos)
+                return base, [[vals[0], vals[1]]], pos + 8 * dims
+            if base == 2:
+                n = _s.unpack_from(bo + "I", buf, pos)[0]
+                pos += 4
+                vals = _s.unpack_from(f"{bo}{n * dims}d", buf, pos)
+                xy = [vals[i * dims + k] for i in range(n) for k in (0, 1)]
+                return base, [xy], pos + 8 * n * dims
+            nr = _s.unpack_from(bo + "I", buf, pos)[0]
+            pos += 4
+            parts = []
+            for _ in range(nr):
+                n = _s.unpack_from(bo + "I", buf, pos)[0]
+                pos += 4
+                vals = _s.unpack_from(f"{bo}{n * dims}d", buf, pos)
+                parts.append([vals[i * dims + k]
+                              for i in range(n) for k in (0, 1)])
+                pos += 8 * n * dims
+            return base, parts, pos
+        if base in (4, 5, 6, 7):  # Multi* / GeometryCollection
+            n = _s.unpack_from(bo + "I", buf, pos)[0]
+            pos += 4
+            sub_base = None
+            parts = []
+            for _ in range(n):
+                b2, p2, pos = parse_geom(pos)
+                sub_base = sub_base or b2
+                parts.extend(p2)
+            return sub_base or 1, parts, pos
+        raise ValueError(f"unsupported WKB geometry type {base}")
+
+    base, parts, _ = parse_geom(0)
+    return _WKB_BASE.get(base, base if base in (1, 2, 3) else 1), parts
+
+
+def read_wkb_layer(df: DataFrame, layer: str,
+                   wkb_col: str = "wkb",
+                   name_col: str = "name",
+                   source_columns: list | None = None) -> DataFrame:
+    """WKB-column scan (the Spark-ecosystem interchange format —
+    GeoParquet/Sedona tables carry geometry as WKB binary): tabular
+    DataFrame with a WKB column -> the same canonical layer schema as
+    read_wkt_layer, winding normalized through _orient_rings."""
+    attr_cols = source_columns or [
+        c for c in df.columns if c not in (wkb_col, name_col)]
+    proj = df.select(name_col, wkb_col, *attr_cols)
+
+    @pandas_udf("struct<geom_type:int, rings:array<array<double>>>")
+    def parse(wkb: pd.Series) -> pd.DataFrame:
+        types, rings = [], []
+        for b in wkb:
+            gt, parts = _parse_wkb(bytes(b))
+            types.append(gt)
+            rings.append(_orient_rings(gt, parts))
+        return pd.DataFrame({"geom_type": types, "rings": rings})
+
+    attrs = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in attr_cols]),
+        F.array(*[F.col(c).cast("string") for c in attr_cols])) \
+        if attr_cols else F.expr("map()")
+    return (proj.withColumn("_g", parse(F.col(wkb_col)))
+            .select(F.lit(layer).alias("layer"),
+                    F.col(name_col).alias("name"),
+                    F.col("_g.geom_type").alias("geom_type"),
+                    F.col("_g.rings").alias("rings"),
+                    attrs.alias("attrs")))
+
+
 # ----------------------------------------------------------- GeoJSON
 
 _GJ_TYPE_MAP = {"Point": G.GEOM_POINT, "LineString": G.GEOM_LINE,
