@@ -309,3 +309,26 @@ def test_wkt_source_clean_polygon_unchanged(spark):
     assert len(rings) == 2
     assert ring_area(rings[0]) == pytest.approx(4.0, rel=1e-9)
     assert ring_area(rings[1]) == pytest.approx(-0.25, rel=1e-9)
+
+
+def test_union_near_coincident_sliver_gap():
+    """Hypothesis-found (round 3): two rects whose facing edges are
+    separated by a 3e-9 sliver — thinner than the classification
+    offset but wider than the split tolerance used to be. The union
+    must keep/merge both rects, not lose rings (the near-collinear
+    split band now matches the classification scale)."""
+    import numpy as np
+
+    from tilemaker_spark.functions.geomnp import ring_area
+    from tilemaker_spark.functions.overlay import union_many
+
+    def rect(x0, y0, w, h):
+        return np.array([(x0, y0), (x0 + w, y0),
+                         (x0 + w, y0 + h), (x0, y0 + h)])
+
+    b = rect(1.0, 0.0, 1.0, 1.0)
+    for a in (rect(1.0, 1.0000000033030148, 1.0, 1.0),   # stacked
+              rect(1.5, 1.0000000033030148, 1.0, 1.0)):  # offset overlap
+        out = union_many([[a], [b]])
+        area = sum(ring_area(np.asarray(r)) for r in out)
+        assert abs(area - 2.0) < 1e-6, (len(out), area)

@@ -108,12 +108,20 @@ def _split_params(P1: np.ndarray, P2: np.ndarray, eps: float) -> list:
         for tv in t[ok]:
             if 1e-12 < tv < 1 - 1e-12:
                 ts[i].append(float(tv))
-        # collinear overlaps: project the other segment's endpoints
+        # (near-)collinear overlaps: project the other segment's
+        # endpoints. The distance band is 4*eps — the SAME scale the
+        # midpoint classification samples at — so parallel edges a few
+        # nanounits apart (a sliver thinner than the classification
+        # offset) are split at each other's endpoints instead of being
+        # classified whole by an ambiguous midpoint; the canonical-
+        # point matcher in _boundary_fragments then reconnects the
+        # T-junctions across the sliver (hypothesis-found: a union of
+        # two rects separated by a 3e-9 gap used to lose rings).
         par = ~nonpar
         if par.any():
             # distance of q1 from the line through p along d
             cross1 = w[par, 0] * d[1] - w[par, 1] * d[0]
-            coll = np.abs(cross1) <= eps * len_d
+            coll = np.abs(cross1) <= 4 * eps * len_d
             if coll.any():
                 qa = q1[par][coll]
                 qb = q2[par][coll]
@@ -171,18 +179,30 @@ def _boundary_fragments(groups: list, predicate, eps: float):
         [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in g
          if len(np.asarray(r).reshape(-1, 2)) >= 3]
         for g in groups]
-    snap = max(eps, 1e-12)
+    # Matching tolerance must cover the classification offset below
+    # (delta <= 4*eps, since ln*1e-9 <= diag*1e-9 = eps): when a sliver
+    # thinner than delta merges into the interior and its facing edges
+    # are dropped, the surviving edges' endpoints — up to delta apart —
+    # MUST canonicalize to one point or no closed ring can be stitched
+    # (a union of two rects separated by a 3e-9 gap returned 0 rings
+    # before this). Neighbor-cell lookup makes the match independent of
+    # snap-cell boundaries.
+    snap = max(4 * eps, 1e-12)
     canon: dict = {}
 
     def key(p):
         # snap only for MATCHING; the emitted coordinate is the first
-        # exact float seen for the cell (input vertices / intersection
+        # exact float seen near the cell (input vertices / intersection
         # points pass through unquantized)
-        k = (round(p[0] / snap), round(p[1] / snap))
-        got = canon.get(k)
-        if got is None:
-            got = (float(p[0]), float(p[1]))
-            canon[k] = got
+        kx, ky = round(p[0] / snap), round(p[1] / snap)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                got = canon.get((kx + dx, ky + dy))
+                if got is not None and abs(got[0] - p[0]) <= snap \
+                        and abs(got[1] - p[1]) <= snap:
+                    return got
+        got = (float(p[0]), float(p[1]))
+        canon[(kx, ky)] = got
         return got
 
     for i in range(n):
@@ -343,11 +363,11 @@ def polygon_overlay(groups: list, mode: str = "union") -> list:
               for g in groups if g]
     if not groups:
         return []
+    eps = _bbox_eps(groups)
     predicate = any if mode == "union" else all
     if mode == "intersection" and len(groups) < 2:
         return _order_rings(_stitch_faces(
-            _boundary_fragments(groups, any, _bbox_eps(groups))))
-    eps = _bbox_eps(groups)
+            _boundary_fragments(groups, any, eps)))
     edges = _boundary_fragments(groups, predicate, eps)
     return _order_rings(_stitch_faces(edges))
 
