@@ -155,8 +155,16 @@ class TilePipeline:
             feats = feats.unionByName(extra_features, allowMissingColumns=True)
         feats = self._checkpoint(feats, "features", force=force)
 
-        # Stage 2 — feature_tiles at basezoom + rollup + gates
-        if cfg.hierarchical_clip:
+        # Stage 2 — feature_tiles at basezoom + rollup + gates.
+        # The hierarchical branch only matters for lines/polygons; a
+        # pages-only run (no way/relation/extra sources) is point-only
+        # BY CONSTRUCTION (features_from_pages emits points), so it
+        # skips the empty geometry checkpoint statically — no probe
+        # action, and the headline keeps the round-2 single-checkpoint
+        # shape.
+        has_geom_sources = (nodes is not None and ways is not None) \
+            or extra_features is not None
+        if cfg.hierarchical_clip and has_geom_sources:
             # clip-cache recast (default path): identical tile
             # assignments, line/polygon pieces pre-clipped top-down
             # (see tiling.cover_clip_explode) — per-zoom pieces
