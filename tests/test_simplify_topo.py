@@ -109,3 +109,26 @@ def test_property_no_ring_crossings(seed):
         assert not OV.needs_dissolve(out), f"crossing at tol={tol}"
         for ring in out:
             assert len(ring) >= 3
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_property_area_drift_bounded(seed):
+    """Simplification area drift is bounded: each removed vertex moves
+    the boundary by < tol, so |Δarea| ≤ tol · perimeter(in) (generous
+    2x slack for accumulated removals)."""
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(30, 90))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    keep = np.concatenate([[True], np.diff(ang) > 1e-3])
+    ang = ang[keep]
+    r = rng.uniform(60, 100, len(ang))
+    outer = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+    if G.ring_area(outer) < 0:
+        outer = outer[::-1]
+    area_in = G.ring_area(outer)
+    per_in = G.ring_perimeter(outer)
+    for tol in (1.0, 5.0, 15.0):
+        out = G.simplify_polygon_parts_topo([outer], tol)
+        area_out = sum(G.ring_area(np.asarray(rg)) for rg in out)
+        assert abs(area_out - area_in) <= 2 * tol * per_in + 1e-9, \
+            (tol, area_in, area_out)
