@@ -91,3 +91,41 @@ def test_knn_exact_driver_action_budget(spark, monkeypatch):
     assert calls["isEmpty"] == 0
     monkeypatch.setattr(DataFrame, "count", orig_count)
     assert out.count() > 0
+
+
+def test_auto_cell_zoom_exactness(spark):
+    """cell_zoom='auto' (density-derived start) must stay exact on the
+    mixed world-sparse fixture, matching brute force."""
+    pts = (spark.range(120).withColumnRenamed("id", "pid")
+           .withColumn("lon", derive_lon(F.col("pid")))
+           .withColumn("lat", derive_lat(F.col("pid")))
+           .cache())
+    probes = pts.select(F.col("pid").alias("probe_id"), "lon", "lat")
+    targets = pts.select(F.col("pid").alias("target_id"), "lon", "lat")
+    got = knn_points_exact(probes, targets, 3, cell_zoom="auto",
+                           max_rounds=5)
+    exp = _brute(spark, pts, 3)
+    g = {(r.probe_id, r.rank): r.target_id for r in got.collect()}
+    e = {(r.probe_id, r.rank): r.target_id for r in exp.collect()}
+    assert g == e
+
+
+def test_antimeridian_neighbors_exact(spark):
+    """Probes at lon≈180 with true nearest neighbors across the date
+    line: the cell join cannot wrap x, so the guarantee must refuse
+    boundary columns and route these probes to the complete round
+    (round-3 fix; the old latitude-local guarantee silently returned
+    the wrong, same-side neighbor)."""
+    rows = [(1, 179.95, 10.0), (2, -179.95, 10.0),   # 11 km apart
+            (3, 179.80, 10.0), (4, -179.80, 10.0),
+            (5, 170.0, 10.0), (6, -170.0, 10.0)]     # same-side decoys
+    pts = spark.createDataFrame(rows, "pid long, lon double, lat double")
+    probes = pts.select(F.col("pid").alias("probe_id"), "lon", "lat")
+    targets = pts.select(F.col("pid").alias("target_id"), "lon", "lat")
+    got = {(r.probe_id, r.rank): r.target_id
+           for r in knn_points_exact(probes, targets, 2,
+                                     cell_zoom=10).collect()}
+    # rank 1 is self (matches the oracle convention); the true
+    # cross-line neighbor must win rank 2 over the same-side decoy
+    assert got[(1, 2)] == 2   # 11 km across the line, NOT 3 (16 km)
+    assert got[(2, 2)] == 1
