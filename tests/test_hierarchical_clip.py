@@ -203,12 +203,16 @@ def test_pipeline_hierarchical_config(spark, tmp_path_factory):
     """EngineConfig.hierarchical_clip drives Stage 2 through the descent
     path end-to-end (checkpoint + resume + same tile count as flat)."""
     from tilemaker_spark.config import default_config
-    from tilemaker_spark.fixtures import make_pages, make_nodes_ways
-    from tilemaker_spark.operators.profile import features_from_ways
+    from tilemaker_spark.fixtures import (make_nodes_ways, make_pages,
+                                          make_relations)
     from tilemaker_spark.plans.pipeline import TilePipeline
 
     pages = make_pages(spark, 500)
     nodes, ways = make_nodes_ways(spark)
+    # multipolygon relations push holes through feature_tiles_geom
+    relations, rel_ways, rel_nodes = make_relations(spark)
+    ways_all = ways.unionByName(rel_ways)
+    nodes_all = nodes.unionByName(rel_nodes)
 
     outs = {}
     for flag in (False, True):
@@ -217,7 +221,8 @@ def test_pipeline_hierarchical_config(spark, tmp_path_factory):
         cfg.hierarchical_clip = flag
         wd = str(tmp_path_factory.mktemp(f"hier_{flag}"))
         pipe = TilePipeline(spark, cfg, workdir=wd)
-        tiles = pipe.run(pages, nodes=nodes, ways=ways, force=True)
+        tiles = pipe.run(pages, nodes=nodes_all, ways=ways_all,
+                         relations=relations, force=True)
         rows = tiles.collect()
         outs[flag] = {(r.z, r.x, r.y): r.n_features for r in rows}
         # full rendered content, canonical ring rotation (the verdict's
@@ -226,7 +231,8 @@ def test_pipeline_hierarchical_config(spark, tmp_path_factory):
                                    for k, v in _tiles_map(rows).items()}
         # resume works on the new layout
         pipe2 = TilePipeline(spark, cfg, workdir=wd)
-        t2 = pipe2.run(pages, nodes=nodes, ways=ways)
+        t2 = pipe2.run(pages, nodes=nodes_all, ways=ways_all,
+                       relations=relations)
         assert pipe2.metrics["stages"]["tiles"].get("resumed") is True
         assert t2.count() == len(outs[flag])
     assert outs[True] == outs[False]
