@@ -14,6 +14,8 @@ Stage order per layer (matching the reference):
 
 from __future__ import annotations
 
+from math import floor as _floor
+
 import numpy as np
 import pandas as pd
 
@@ -187,9 +189,14 @@ def _extract_cols(pdf: pd.DataFrame) -> dict:
 
 
 def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
-                       config: EngineConfig) -> tuple:
+                       config: EngineConfig,
+                       layer_order: list | None = None) -> tuple:
     """Rows (given as indices into the batch's column arrays) must
-    already be draw-order sorted / deduped / limited (_batch_prepare)."""
+    already be draw-order sorted / deduped / limited (_batch_prepare).
+    ``layer_order`` is config.layer_order() hoisted by the caller —
+    rebuilding the write_to grouping per tile was ~6% of assembly."""
+    if layer_order is None:
+        layer_order = config.layer_order()
     bbox = TileBbox(z, x, y, hires=config.high_resolution)
     clip_box = bbox.clipping_box
     extend_box = bbox.extend_box()
@@ -200,7 +207,7 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
     by_layer: dict = {}
     for i in idxs:
         by_layer.setdefault(layer_list[i], []).append(i)
-    for target, members in config.layer_order():
+    for target, members in layer_order:
         rows_idx: list = []
         for m in members:
             rows_idx.extend(by_layer.get(m, ()))
@@ -235,7 +242,6 @@ def _assemble_one_tile(z: int, x: int, y: int, idxs, cols: dict,
         geom_l = cols["geom"]
         attrs_l = cols["attrs"]
 
-        from math import floor as _floor
         cb0, cb1, cb2, cb3 = clip_box
         b_min_lon = bbox.min_lon
         b_max_latp = bbox.max_latp
@@ -445,6 +451,7 @@ def _assemble_batch(pdf: pd.DataFrame, config: EngineConfig):
         return None
     cols = _extract_cols(pdf)
     za, xa, ya = cols["z"], cols["x"], cols["y"]
+    layer_order = config.layer_order()  # hoisted out of the tile loop
     # group boundaries on the (z, x, y)-sorted batch — no pandas groupby
     change = np.nonzero((np.diff(za) != 0) | (np.diff(xa) != 0)
                         | (np.diff(ya) != 0))[0] + 1
@@ -453,7 +460,8 @@ def _assemble_batch(pdf: pd.DataFrame, config: EngineConfig):
     zs, xs, ys, tiles, nfs, nbs = [], [], [], [], [], []
     for s, e in zip(starts, ends):
         tile, n = _assemble_one_tile(int(za[s]), int(xa[s]), int(ya[s]),
-                                     range(s, e), cols, config)
+                                     range(s, e), cols, config,
+                                     layer_order=layer_order)
         if n == 0:
             continue
         zs.append(np.int32(za[s]))
