@@ -551,6 +551,67 @@ def ring_perimeter(ring: np.ndarray) -> float:
     return float(np.hypot(d[:, 0], d[:, 1]).sum())
 
 
+class _SegGrid:
+    """Uniform spatial hash over segments — the reference's simplify
+    R-tree (src/geom.cpp:22-27) recast: add/remove segments as the
+    simplification rewires the ring, query the intersection count of a
+    candidate chord against only the segments whose bboxes share a grid
+    cell with the chord's bbox (any intersecting segment necessarily
+    registers in a cell inside the chord's bbox range, so the gather
+    cannot miss). Turns the guard from O(n) per candidate into
+    O(local density)."""
+
+    __slots__ = ("cell", "cells", "segs")
+
+    def __init__(self, cell: float):
+        self.cell = max(cell, 1e-300)
+        self.cells: dict = {}
+        self.segs: dict = {}
+
+    def _range(self, x0, y0, x1, y1):
+        c = self.cell
+        return (int(min(x0, x1) // c), int(max(x0, x1) // c),
+                int(min(y0, y1) // c), int(max(y0, y1) // c))
+
+    def add(self, sid, p, q):
+        rec = (float(p[0]), float(p[1]), float(q[0]), float(q[1]))
+        self.segs[sid] = rec
+        ix0, ix1, iy0, iy1 = self._range(*rec)
+        for ix in range(ix0, ix1 + 1):
+            for iy in range(iy0, iy1 + 1):
+                self.cells.setdefault((ix, iy), set()).add(sid)
+
+    def remove(self, sid):
+        rec = self.segs.pop(sid)
+        ix0, ix1, iy0, iy1 = self._range(*rec)
+        for ix in range(ix0, ix1 + 1):
+            for iy in range(iy0, iy1 + 1):
+                s = self.cells.get((ix, iy))
+                if s is not None:
+                    s.discard(sid)
+
+    def hit_count(self, p, q) -> int:
+        ix0, ix1, iy0, iy1 = self._range(p[0], p[1], q[0], q[1])
+        found: set = set()
+        for ix in range(ix0, ix1 + 1):
+            for iy in range(iy0, iy1 + 1):
+                s = self.cells.get((ix, iy))
+                if s:
+                    found |= s
+        if not found:
+            return 0
+        segs = np.array([self.segs[s] for s in found], dtype=np.float64)
+        return _segs_hit_count(np.asarray(p, dtype=np.float64),
+                               np.asarray(q, dtype=np.float64), segs)
+
+
+def _grid_cell_for(ring: np.ndarray, n_segs: int) -> float:
+    span = max(float(ring[:, 0].max() - ring[:, 0].min()),
+               float(ring[:, 1].max() - ring[:, 1].min()), 1e-300)
+    k = min(256, max(8, int(math.isqrt(max(n_segs, 1)))))
+    return span / k
+
+
 def simplify_ring_topo(ring: np.ndarray, tol: float,
                        other_segs: np.ndarray | None = None) -> np.ndarray:
     """G7 — topology-guarded ring simplification, reference parity with
@@ -568,9 +629,11 @@ def simplify_ring_topo(ring: np.ndarray, tol: float,
       sibling rings: holes guard against the outer and vice versa), so
       a simplified outer can never cross its holes or itself.
 
-    Input/output rings are open (no closing duplicate). O(n) candidate
-    × O(n) guard = O(n²) worst case — rings here are per-tile clipped
-    pieces, so n is bounded by the piece, not the source geometry.
+    Input/output rings are open (no closing duplicate). The guard is
+    served by a spatial-hash segment grid (see _SegGrid) updated as
+    vertices are removed — O(local density) per candidate instead of
+    the O(n) rescan that would make vertex-heavy low-zoom pieces
+    quadratic.
     """
     ring = np.asarray(ring, dtype=np.float64)
     n = len(ring)
@@ -582,9 +645,17 @@ def simplify_ring_topo(ring: np.ndarray, tol: float,
     env_max = a.max(axis=0)
     on_env = ((a[:, 0] == env_min[0]) | (a[:, 1] == env_min[1])
               | (a[:, 0] == env_max[0]) | (a[:, 1] == env_max[1]))
-    if other_segs is None:
-        other_segs = np.empty((0, 4), dtype=np.float64)
+    cell = _grid_cell_for(a, m - 1)
+    own = _SegGrid(cell)
+    for i in range(m - 1):
+        own.add((i, i + 1), a[i], a[i + 1])
+    other = None
+    if other_segs is not None and len(other_segs):
+        other = _SegGrid(cell)
+        for i, rec in enumerate(np.asarray(other_segs, dtype=np.float64)):
+            other.add(i, rec[0:2], rec[2:4])
     nodes = list(range(m))
+    n_segs = m - 1
     for entry in range(m - 3, -1, -1):
         start, middle, end = nodes[entry], nodes[entry + 1], nodes[entry + 2]
         if on_env[middle]:
@@ -602,12 +673,15 @@ def simplify_ring_topo(ring: np.ndarray, tol: float,
             dist2 = np.sum(dd * dd, axis=1)
         if dist2.size and float(dist2.max()) >= tol * tol:
             continue
-        na = np.asarray(nodes)
-        own = np.hstack([a[na[:-1]], a[na[1:]]])
-        cnt = (_segs_hit_count(p, q, own)
-               + _segs_hit_count(p, q, other_segs))
-        if cnt == min(4, len(nodes) - 1):
+        cnt = own.hit_count(p, q)
+        if other is not None:
+            cnt += other.hit_count(p, q)
+        if cnt == min(4, n_segs):
             del nodes[entry + 1]
+            own.remove((start, middle))
+            own.remove((middle, end))
+            own.add((start, end), p, q)
+            n_segs -= 1
     return a[np.asarray(nodes[:-1])]
 
 
