@@ -257,6 +257,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(_docs(spark, sf_dir))
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilemaker_spark.operators.text_analysis import token_stats
     return token_stats(_docs(spark, sf_dir))
@@ -730,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "simhash_signatures": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
@@ -972,6 +978,16 @@ FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= {LSH_THRESHOLD}"""
 
     q["simhash_signatures"] = _simhash_sql()
+
+    # brute-force all-pairs twin (500 docs at sf0.01 -> 125k pairs):
+    # deliberately INDEPENDENT of the Spark side's pigeonhole blocking,
+    # so it checks the recall guarantee, not just the arithmetic
+    q["simhash_pairs"] = (
+        f"WITH sh AS ({_simhash_sql()}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3")
 
     q["token_stats"] = """
 WITH t AS (SELECT doc_id, length(text) AS n_chars_txt,

@@ -180,43 +180,96 @@ def _hex_digit_val(col):
     return F.expr(f"instr('{_HEX}', {col}) - 1")
 
 
-def simhash16(docs: DataFrame, token_col: str = "text") -> DataFrame:
-    """16-bit SimHash over word tokens, fully Column-expression based.
+def simhash_bits(docs: DataFrame, bits: int = 16,
+                 token_col: str = "text") -> DataFrame:
+    """`bits`-wide SimHash over word tokens, fully Column-expression based.
 
-    Bit j (j = 0..15) is set when the sum over tokens of
+    Bit j (j = 0..bits-1) is set when the sum over tokens of
     (+1 if bit j of md5(token) else -1) is positive. Bit j of md5 is
     extracted from hex digit j/4 — integer math reproducible in ANSI SQL
-    for the oracle. Returns (doc_id, simhash).
+    for the oracle. bits <= 62 so the signature fits a signed long
+    without touching the sign bit. Returns (doc_id, simhash).
+
+    16 bits is the oracle-checked default; at web scale use a wider
+    signature (e.g. 48-62) so pigeonhole chunk blocks in
+    ``simhash_pairs`` stay selective.
     """
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in 1..62")
     toks = docs.select("doc_id",
                        F.explode(F.split(token_col, " ")).alias("tok"))
     toks = toks.withColumn("h", F.md5("tok"))
     bit_sums = []
-    for j in range(16):
+    for j in range(bits):
         digit = _hex_digit_val(f"substring(h, {j // 4 + 1}, 1)")
         bit = F.floor(digit / (2 ** (3 - j % 4))) % 2
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
     acc = F.lit(0)
-    for j in range(16):
+    for j in range(bits):
         acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return per_doc.select("doc_id", acc.cast("long").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidate pairs whose 16-bit SimHashes differ by
-    <= max_hamming bits. Pairing is blocked on the top byte of the
-    signature (an LSH-style prefix block) so the join is not n^2 at
-    scale; exact hamming distance filters within blocks."""
-    sh = simhash16(docs)
-    blocked = sh.withColumn("block", F.shiftright("simhash", 8))
+def simhash16(docs: DataFrame, token_col: str = "text") -> DataFrame:
+    """16-bit SimHash (oracle-checked width). See :func:`simhash_bits`."""
+    return simhash_bits(docs, 16, token_col)
+
+
+def simhash_pairs_from_signatures(sh: DataFrame, max_hamming: int = 3,
+                                  bits: int = 16) -> DataFrame:
+    """Pairs from a (doc_id, simhash) table differing by <= max_hamming bits.
+
+    Recall-exact pigeonhole blocking: the signature is split into
+    max_hamming+1 contiguous chunks; a pair within the hamming budget
+    has at most max_hamming differing bits, so at least one chunk is
+    bit-identical on both sides (pigeonhole). The union of per-chunk
+    equi-joins therefore contains EVERY qualifying pair; the exact
+    hamming filter then removes false positives. No n^2 join — the only
+    shuffle keys are (chunk_id, chunk_val), and at web scale a wider
+    signature (bits=48..62) keeps each chunk selective (16-bit chunks =
+    65536 block values) so no block goes quadratic.
+    """
+    n_chunks = max_hamming + 1
+    bounds = [bits * i // n_chunks for i in range(n_chunks + 1)]
+    chunks = []
+    for c in range(n_chunks):
+        lo, width = bounds[c], bounds[c + 1] - bounds[c]
+        val = (F.shiftrightunsigned("simhash", lo)
+               .bitwiseAND(F.lit((1 << width) - 1)))
+        chunks.append(F.struct(F.lit(c).alias("chunk_id"),
+                               val.cast("long").alias("chunk_val")))
+    blocked = (sh.select("doc_id", "simhash",
+                         F.explode(F.array(*chunks)).alias("ch"))
+               .select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val"))
     a = blocked.select(F.col("doc_id").alias("doc_a"),
-                       F.col("simhash").alias("sim_a"), "block")
+                       F.col("simhash").alias("sim_a"),
+                       "chunk_id", "chunk_val")
     b = blocked.select(F.col("doc_id").alias("doc_b"),
-                       F.col("simhash").alias("sim_b"), "block")
-    pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+                       F.col("simhash").alias("sim_b"),
+                       "chunk_id", "chunk_val")
+    # a pair agreeing on several chunks appears once per agreeing chunk;
+    # dropDuplicates on the pair key collapses them before the (cheap)
+    # hamming evaluation
+    pairs = (a.join(b, ["chunk_id", "chunk_val"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sim_a", "sim_b")
+             .dropDuplicates(["doc_a", "doc_b"]))
     xor = F.expr("sim_a ^ sim_b")
-    ham = sum(F.shiftright(xor, j) % 2 for j in range(16))
+    ham = sum(F.shiftrightunsigned(xor, j).bitwiseAND(F.lit(1))
+              for j in range(bits))
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  bits: int = 16) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ by <= max_hamming bits.
+
+    Composition of :func:`simhash_bits` and
+    :func:`simhash_pairs_from_signatures` (see there for the recall
+    guarantee and scaling notes). Output: (doc_a, doc_b, hamming).
+    """
+    return simhash_pairs_from_signatures(
+        simhash_bits(docs, bits), max_hamming, bits)
