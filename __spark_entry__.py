@@ -339,13 +339,16 @@ NEARDUP_COS = 0.4
 def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within computed hyperplane
     buckets (the 100-TB shape: bucket equi-join bounds the pair space;
-    no all-pairs cross join). Fully SQL-checkable."""
+    no all-pairs cross join), with 1-bit-flip multi-probe so a pair
+    straddling a single hyperplane is still found. Fully SQL-checkable;
+    the twin reproduces the same probe expansion."""
     from tilemaker_spark.operators.similarity import (
         embedding_dedup_pairs, with_hyperplane_bucket)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = with_hyperplane_bucket(emb, n_bits=IVF_BITS)
     out = embedding_dedup_pairs(emb, threshold=NEARDUP_COS,
-                                bucket_col="bucket")
+                                bucket_col="bucket",
+                                multiprobe_bits=IVF_BITS)
     return out.select("vec_a", "vec_b", "cos_sim")
 
 
@@ -1104,12 +1107,15 @@ FROM ranked WHERE rank <= {TOPK}"""
     cos_ab = ("list_dot_product(a.embedding, b.embedding) / "
               "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
               "sqrt(list_dot_product(b.embedding, b.embedding)))")
+    flip_list = ", ".join(str(f) for f in [0] + [1 << j for j in range(4)])
     q["embedding_neardup"] = f"""
 WITH coded AS (SELECT vec_id, embedding, {bucket_sql} AS bucket
-               FROM embeddings)
+               FROM embeddings),
+expanded AS (SELECT vec_id, embedding, xor(bucket, f) AS bucket
+             FROM coded, UNNEST([{flip_list}]) t(f))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({cos_ab}, 4) AS cos_sim
-FROM coded a JOIN coded b ON a.bucket = b.bucket
+FROM expanded a JOIN coded b ON a.bucket = b.bucket
 WHERE a.vec_id < b.vec_id
   AND round({cos_ab}, 4) >= {NEARDUP_COS}"""
     q["embedding_ivf_topk"] = f"""

@@ -201,16 +201,35 @@ def ivf_topk_kmeans(embeddings: DataFrame, probe_ids, k: int = 5,
 
 def embedding_dedup_pairs(embeddings: DataFrame,
                           threshold: float = 0.999,
-                          bucket_col: str = "label") -> DataFrame:
+                          bucket_col: str = "label",
+                          multiprobe_bits: int = 0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse buckets.
 
     (vec_a, vec_b, cos_sim) for pairs with cosine >= threshold; the
     bucket equi-join bounds the pair space (near-dups land in the same
     coarse cell with high probability).
+
+    multiprobe_bits > 0 enables multi-probe over a hyperplane sign-bit
+    bucket (``with_hyperplane_bucket``): side A additionally probes
+    every bucket reachable by flipping ONE of the low
+    ``multiprobe_bits`` code bits, so a near-dup pair straddling a
+    single hyperplane is no longer a silent false negative. Each
+    qualifying pair matches on exactly one flip value (f = code_a XOR
+    code_b), so the union introduces no duplicates. Pairs straddling
+    >= 2 hyperplanes can still be missed — the standard multi-probe
+    recall/cost tradeoff; add probes or a second independent table for
+    higher recall. Probe fan-out is multiprobe_bits+1, so the join
+    stays linear in the corpus at 100 TB.
     """
     a = embeddings.select(F.col("vec_id").alias("vec_a"),
                           F.col("embedding").alias("emb_a"),
                           F.col(bucket_col).alias("bucket"))
+    if multiprobe_bits:
+        probes = [F.col("bucket").bitwiseXOR(F.lit(f)).alias("p")
+                  for f in [0] + [1 << j for j in range(multiprobe_bits)]]
+        a = (a.withColumn("probe_bucket", F.explode(F.array(*probes)))
+             .drop("bucket")
+             .withColumnRenamed("probe_bucket", "bucket"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"),
                           F.col("embedding").alias("emb_b"),
                           F.col(bucket_col).alias("bucket"))
