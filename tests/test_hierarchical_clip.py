@@ -237,3 +237,43 @@ def test_pipeline_hierarchical_config(spark, tmp_path_factory):
         assert t2.count() == len(outs[flag])
     assert outs[True] == outs[False]
     assert outs[(True, "content")] == outs[(False, "content")]
+
+
+def test_stage2_mode_mismatch_forces_recompute(spark, tmp_path_factory):
+    """A workdir written by the hierarchical split holds only POINT rows
+    under 'feature_tiles'; resuming it with hierarchical_clip=False must
+    recompute Stage 2 (mode fingerprint guard), not silently drop every
+    line/polygon feature."""
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.fixtures import make_nodes_ways, make_pages
+    from tilemaker_spark.plans.pipeline import TilePipeline
+
+    pages = make_pages(spark, 200)
+    nodes, ways = make_nodes_ways(spark)
+
+    def run(wd, hier, force=False):
+        cfg = default_config()
+        cfg.basezoom = 10
+        cfg.hierarchical_clip = hier
+        pipe = TilePipeline(spark, cfg, workdir=wd)
+        tiles = pipe.run(pages, nodes=nodes, ways=ways, force=force)
+        return pipe, {(r.z, r.x, r.y): r.n_features for r in tiles.collect()}
+
+    wd = str(tmp_path_factory.mktemp("mode_guard"))
+    _, hier_out = run(wd, hier=True, force=True)
+
+    # flat resume of the hier workdir: guard must force Stage 2+3
+    pipe2, flat_out = run(wd, hier=False)
+    assert "resumed" not in pipe2.metrics["stages"]["feature_tiles"]
+    assert "resumed" not in pipe2.metrics["stages"]["tiles"]
+    assert flat_out == hier_out  # lines/polygons all present
+
+    # same-mode re-run after the guard rewrite still resumes cleanly
+    pipe3, flat2 = run(wd, hier=False)
+    assert pipe3.metrics["stages"]["tiles"].get("resumed") is True
+    assert flat2 == flat_out
+
+    # and flipping back to hier forces again (fingerprint now says flat)
+    pipe4, hier2 = run(wd, hier=True)
+    assert "resumed" not in pipe4.metrics["stages"]["feature_tiles"]
+    assert hier2 == hier_out

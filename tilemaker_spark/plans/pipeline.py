@@ -164,6 +164,30 @@ class TilePipeline:
         # shape.
         has_geom_sources = (nodes is not None and ways is not None) \
             or extra_features is not None
+        # Checkpoint-mode guard: the two Stage-2 layouts store DIFFERENT
+        # row sets under "feature_tiles" (hier split = points only; flat
+        # = full basezoom cover). Resuming a workdir written by the
+        # other mode would silently drop or duplicate rows, so the mode
+        # is fingerprinted in the workdir and a mismatch forces
+        # recompute of the Stage-2 checkpoints. Legacy workdirs without
+        # a fingerprint: a feature_tiles_geom checkpoint means the hier
+        # split wrote them (flat never creates it); plain round-2 flat
+        # workdirs stay resumable from either mode (the hier branch
+        # filters geom_type on read).
+        stage2_mode = ("hier_split" if cfg.hierarchical_clip
+                       and has_geom_sources else "flat")
+        mode_path = os.path.join(self.workdir, "stage2_mode.json")
+        prev_mode = None
+        if os.path.exists(mode_path):
+            with open(mode_path) as f:
+                prev_mode = json.load(f).get("mode")
+        elif stage2_mode == "flat" and _stage_done(
+                os.path.join(self.workdir, "feature_tiles_geom")):
+            prev_mode = "hier_split"
+        force_stage2 = force or (
+            prev_mode is not None and prev_mode != stage2_mode)
+        with open(mode_path, "w") as f:
+            json.dump({"mode": stage2_mode}, f)
         if cfg.hierarchical_clip and has_geom_sources:
             # clip-cache recast (default path): identical tile
             # assignments, line/polygon pieces pre-clipped top-down
@@ -177,7 +201,7 @@ class TilePipeline:
             pts = feats.filter(F.col("geom_type") == 1)
             geoms = feats.filter(F.col("geom_type") != 1)
             ftp = cover_explode(pts, cfg.basezoom)
-            ftp = self._checkpoint(ftp, "feature_tiles", force=force)
+            ftp = self._checkpoint(ftp, "feature_tiles", force=force_stage2)
             # the geom_type filter makes pre-split (round-2 flat)
             # workdirs resumable too: their checkpoint also holds
             # line/polygon rows, which now live in feature_tiles_geom
@@ -185,7 +209,8 @@ class TilePipeline:
                                   cfg.minzoom, cfg.basezoom)
             ftg = cover_clip_explode(geoms, cfg.minzoom, cfg.basezoom,
                                      hires=cfg.high_resolution)
-            ftg = self._checkpoint(ftg, "feature_tiles_geom", force=force)
+            ftg = self._checkpoint(ftg, "feature_tiles_geom",
+                                   force=force_stage2)
             ft = ftp.unionByName(ftg)
         else:
             # checkpoint ONLY the basezoom assignment: the ancestor
@@ -195,7 +220,7 @@ class TilePipeline:
             # scale that is the difference between writing the base
             # cover once and writing it once per zoom level
             ft = cover_explode(feats, cfg.basezoom)
-            ft = self._checkpoint(ft, "feature_tiles", force=force)
+            ft = self._checkpoint(ft, "feature_tiles", force=force_stage2)
             ft = ancestor_rollup(ft, cfg.minzoom, cfg.basezoom)
         layer_zooms = {name: (lc.minzoom, lc.maxzoom)
                        for name, lc in cfg.layers.items()}
@@ -227,7 +252,9 @@ class TilePipeline:
             else:
                 tiles = assemble_tiles(ft, cfg)
             lazy_tiles = tiles
-            tiles = self._checkpoint(tiles, "tiles", force=force)
+            # force_stage2 propagates: a tiles checkpoint derived from a
+            # different Stage-2 mode is just as stale as the stage it read
+            tiles = self._checkpoint(tiles, "tiles", force=force_stage2)
         finally:
             ft.unpersist()
             # the checkpoint materialized the plan; release the salted
