@@ -80,6 +80,35 @@ def test_pmtiles_dedup_and_clustering(spark, tmp_path):
     assert all(bytes(r.tile) == blob for r in back.collect())
 
 
+def test_pmtiles_write_streams_data(spark, tmp_path):
+    """Driver-side buffering must be O(directory), not O(archive): the
+    data section streams through a sidecar file, so Python peak memory
+    during the write stays far below the total unique tile bytes."""
+    import random
+    import tracemalloc
+
+    rng = random.Random(7)
+    rows = [(12, i % 64, i // 64,
+             bytes(rng.getrandbits(8) for _ in range(4096)))
+            for i in range(2000)]  # ~8 MB of unique (incompressible) tiles
+    df = spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+    df = df.persist()
+    df.count()  # materialize so tracemalloc sees only the writer
+    path = str(tmp_path / "s.pmtiles")
+    tracemalloc.start()
+    n = sinks.write_pmtiles(df, path)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    df.unpersist()
+    assert n == 2000
+    total_data = 2000 * 4096
+    assert os.path.getsize(path) > total_data  # all unique -> all stored
+    assert peak < total_data // 2, f"driver buffered {peak} bytes"
+    assert not os.path.exists(path + ".data.tmp")
+    back = sinks.read_pmtiles(spark, path)
+    assert back.count() == 2000
+
+
 def test_tile_directory(spark, tiles_df, tmp_path):
     out = str(tmp_path / "tiles")
     n = sinks.write_tile_directory(tiles_df, out, {"name": "t"})

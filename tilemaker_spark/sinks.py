@@ -22,6 +22,7 @@ import gzip
 import hashlib
 import json
 import os
+import shutil
 import sqlite3
 import struct
 
@@ -295,51 +296,64 @@ def write_pmtiles(tiles: DataFrame, path: str,
     final byte stream of a SINGLE-FILE archive necessarily serializes
     through one writer (toLocalIterator keeps driver memory bounded at
     one chunk — the cost is sequential IO, same as the reference's
-    single-file write). For a parallel sink use write_tile_directory
-    or the parquet checkpoints."""
+    single-file write, src/pmtiles.cpp:16-173 which also streams tile
+    bytes straight to the output). Tile DATA is streamed to a sidecar
+    file as it arrives and concatenated after the directories are
+    sized, so driver RAM is O(directory) — (sha256 -> offset,len) per
+    unique tile plus the entry list — never O(archive). For a parallel
+    sink use write_tile_directory or the parquet checkpoints."""
     ordered = with_tileid(tiles).repartitionByRange(32, "tileid") \
         .sortWithinPartitions("tileid")
     entries = []  # (tileid, offset, length, run_length)
-    data = bytearray()
     # sha256 digest -> (offset, length): collision-safe content dedup
     # (Python hash() of bytes can collide and would alias tile content).
     seen_ranges = {}
     minz, maxz = 99, 0
     n_addressed = 0
-    for row in ordered.select("tileid", "z", "tile").toLocalIterator():
-        b = bytes(row.tile)
-        minz, maxz = min(minz, row.z), max(maxz, row.z)
-        n_addressed += 1
-        key = hashlib.sha256(b).digest()
-        if key in seen_ranges:
-            off, ln = seen_ranges[key]
-        else:
-            off, ln = len(data), len(b)
-            data += b
-            seen_ranges[key] = (off, ln)
-        if entries and entries[-1][0] + entries[-1][3] == row.tileid \
-                and entries[-1][1] == off:
-            tid0, o0, l0, rl = entries[-1]
-            entries[-1] = (tid0, o0, l0, rl + 1)
-        else:
-            entries.append((row.tileid, off, ln, 1))
-    root, leaves = _pm_build_directories(entries)
-    meta = gzip.compress(json.dumps(metadata or {}).encode())
-    root_off = 127
-    meta_off = root_off + len(root)
-    leaf_off = meta_off + len(meta)
-    data_off = leaf_off + len(leaves)
-    header = _pm_header(root_off, len(root), meta_off, len(meta),
-                        leaf_off, len(leaves), data_off, len(data),
-                        n_addressed, len(entries), len(seen_ranges),
-                        True, 0 if minz == 99 else minz, maxz,
-                        (-180.0, -85.06, 180.0, 85.06))
-    with open(path, "wb") as f:
-        f.write(header)
-        f.write(root)
-        f.write(meta)
-        f.write(leaves)
-        f.write(bytes(data))
+    data_len = 0
+    data_tmp = path + ".data.tmp"
+    try:
+        with open(data_tmp, "wb") as dataf:
+            for row in ordered.select("tileid", "z", "tile") \
+                    .toLocalIterator():
+                b = bytes(row.tile)
+                minz, maxz = min(minz, row.z), max(maxz, row.z)
+                n_addressed += 1
+                key = hashlib.sha256(b).digest()
+                if key in seen_ranges:
+                    off, ln = seen_ranges[key]
+                else:
+                    off, ln = data_len, len(b)
+                    dataf.write(b)
+                    data_len += ln
+                    seen_ranges[key] = (off, ln)
+                if entries and entries[-1][0] + entries[-1][3] == row.tileid \
+                        and entries[-1][1] == off:
+                    tid0, o0, l0, rl = entries[-1]
+                    entries[-1] = (tid0, o0, l0, rl + 1)
+                else:
+                    entries.append((row.tileid, off, ln, 1))
+        root, leaves = _pm_build_directories(entries)
+        meta = gzip.compress(json.dumps(metadata or {}).encode())
+        root_off = 127
+        meta_off = root_off + len(root)
+        leaf_off = meta_off + len(meta)
+        data_off = leaf_off + len(leaves)
+        header = _pm_header(root_off, len(root), meta_off, len(meta),
+                            leaf_off, len(leaves), data_off, data_len,
+                            n_addressed, len(entries), len(seen_ranges),
+                            True, 0 if minz == 99 else minz, maxz,
+                            (-180.0, -85.06, 180.0, 85.06))
+        with open(path, "wb") as f:
+            f.write(header)
+            f.write(root)
+            f.write(meta)
+            f.write(leaves)
+            with open(data_tmp, "rb") as dataf:
+                shutil.copyfileobj(dataf, f, 1 << 20)
+    finally:
+        if os.path.exists(data_tmp):
+            os.remove(data_tmp)
     return n_addressed
 
 
