@@ -520,11 +520,17 @@ def _q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: image grid embeddings -> cosine top-3 (rows-only)."""
+    """Multimodal decode -> grid embed -> cosine top-3, hash-checked:
+    linear_px media makes the pixels SQL-expressible arithmetic, double
+    pooling makes the grid means bit-reproducible by DuckDB AVG, and
+    cos_sim is rounded to 4 decimals BEFORE ranking on both sides (the
+    embedding_topk recipe). The RNG-pixel variant of the same pipeline
+    stays rows-only in media_image_stats."""
     from tilemaker_spark.operators import multimodal as MM
     from tilemaker_spark.operators.similarity import cosine_topk
-    media = MM.make_media(spark, 150)
-    emb = MM.image_embeddings(media).withColumnRenamed("doc_id", "vec_id")
+    media = MM.make_media(spark, 150, linear_px=True)
+    emb = MM.image_embeddings(media, dtype="double") \
+        .withColumnRenamed("doc_id", "vec_id")
     return cosine_topk(emb, [0, 3, 6], k=3)
 
 
@@ -639,8 +645,11 @@ def _q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/J9 continuous: two-batch Structured Streaming incremental
-    tileset maintenance; returns the final snapshot's (z, x, y)
-    (rows-only check — binary merge output)."""
+    tileset maintenance. Hash-checked: the final snapshot's per-tile
+    MERGED feature count (decoded from the tile bytes, so the
+    layer-concat merge itself is value-checked) must equal the page
+    count per tile over BOTH batches — pure tile math in DuckDB
+    (insert-or-replace semantics, reference src/mbtiles.cpp:127-151)."""
     import os
     import shutil
     import tempfile
@@ -670,7 +679,19 @@ def _q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = start_incremental(spark, pages_dir, workdir, cfg)
         q.awaitTermination(180)
     tiles = read_current_tiles(spark, workdir)
-    return tiles.select("z", "x", "y").orderBy("z", "x", "y")
+
+    from pyspark.sql.functions import pandas_udf
+
+    from tilemaker_spark.functions import mvt as MVT
+
+    @pandas_udf("int")
+    def n_feat(tile):
+        return tile.map(lambda b: sum(
+            len(ld["features"])
+            for ld in MVT.decode_tile(bytes(b)).values()))
+
+    return (tiles.select("z", "x", "y", n_feat("tile").alias("n_features"))
+            .orderBy("z", "x", "y"))
 
 
 # F6 oracle bbox: a window around the hot "city" (covers the 20% hot
@@ -721,6 +742,15 @@ def _q_tiles_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_tiles(ft, cfg).select("z", "x", "y", "n_features", "n_bytes")
 
 
+def _q_tiles_e2e_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar digest of the flagship pipeline, hash-checked: the SHAPE
+    of tiles_e2e — every (z, x, y) and its feature count — against pure
+    DuckDB tile math (reference enumeration src/tile_data.cpp:120-154).
+    The binary MVT bytes stay golden-pinned in pytest; this row proves
+    the tile set and per-tile cardinality are exactly right."""
+    return _q_tiles_e2e(spark, sf_dir).select("z", "x", "y", "n_features")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_points": _q_tile_assign,
@@ -764,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sources": _q_union_sources,
         "incremental_merge": _q_incremental_merge,
         "tiles_e2e": _q_tiles_e2e,
+        "tiles_e2e_digest": _q_tiles_e2e_digest,
         "tiles_e2e_bbox": _q_tiles_e2e_bbox,
     }
 
@@ -1361,6 +1392,67 @@ sel AS (
 SELECT DISTINCT doc_id, h AS fp FROM sel WHERE rn = 1
 UNION
 SELECT doc_id, fp FROM small"""
+
+    # tiles_e2e_digest: the flagship tile set without the bbox prune —
+    # same tile math as tiles_e2e_bbox over every page.
+    q["tiles_e2e_digest"] = f"""
+WITH geo AS (SELECT doc_id, {sql_lon('doc_id')} AS lon,
+                    {sql_lat('doc_id')} AS lat,
+                    CASE WHEN length(text) > 300 THEN 0
+                         WHEN length(text) > 150 THEN 6 ELSE 10 END AS mz
+             FROM documents),
+base AS (SELECT doc_id, mz, {sql_tile_x('lon', 10)} AS bx,
+                {sql_tile_y('lat', 10)} AS by FROM geo),
+lvl AS (SELECT CAST(z AS INT) AS z, doc_id,
+               bx // CAST(pow(2, 10 - z) AS BIGINT) AS x,
+               by // CAST(pow(2, 10 - z) AS BIGINT) AS y
+        FROM base, UNNEST(range(0, 11)) AS t(z)
+        WHERE z >= mz)
+SELECT z, x, y, CAST(count(*) AS INT) AS n_features
+FROM lvl GROUP BY z, x, y"""
+
+    # incremental_merge: the merged snapshot's per-tile feature count
+    # equals pages-per-tile over both batches (ids 0..119); make_pages
+    # text is 98 chars -> min_zoom 10 = basezoom, so only z=10 tiles.
+    q["incremental_merge"] = f"""
+WITH geo AS (SELECT CAST(i AS BIGINT) AS doc_id, {sql_lon('i')} AS lon,
+                    {sql_lat('i')} AS lat FROM range(120) t(i))
+SELECT CAST(10 AS INT) AS z, {sql_tile_x('lon', 10)} AS x,
+       {sql_tile_y('lat', 10)} AS y, CAST(count(*) AS INT) AS n_features
+FROM geo GROUP BY 1, 2, 3"""
+
+    # media_embed_knn: full multimodal pipeline twin — regenerate the
+    # linear_px pixels ((id*31 + j*7) % 256), 4x4 grid-mean pool in
+    # double (exact integer sums -> bit-equal to numpy), cosine rounded
+    # to 4 decimals BEFORE ranking (project invariant), top-3 per probe
+    # with vec_id tie-break.
+    q["media_embed_knn"] = """
+WITH imgs AS (SELECT CAST(i AS BIGINT) AS doc_id,
+                     CAST(16 + i % 48 AS BIGINT) AS w,
+                     CAST(16 + (i * 7) % 48 AS BIGINT) AS h
+              FROM range(150) t(i) WHERE i % 3 = 0),
+px AS (SELECT doc_id, w, h, CAST(j AS BIGINT) AS j,
+              CAST((doc_id * 31 + j * 7) % 256 AS DOUBLE) AS v
+       FROM imgs, UNNEST(range(0, w * h)) u(j)),
+cells AS (SELECT doc_id,
+                 ((j // w) // (h // 4)) * 4 + ((j % w) // (w // 4)) AS d, v
+          FROM px
+          WHERE (j // w) < 4 * (h // 4) AND (j % w) < 4 * (w // 4)),
+feat AS (SELECT doc_id, d, AVG(v) AS f FROM cells GROUP BY doc_id, d),
+n2 AS (SELECT doc_id, SUM(f * f) AS s FROM feat GROUP BY doc_id),
+cos AS (SELECT a.doc_id AS probe_id, b.doc_id AS vec_id,
+               round(SUM(a.f * b.f) / (sqrt(pa.s) * sqrt(pb.s)), 4)
+                 AS cos_sim
+        FROM feat a JOIN feat b ON a.d = b.d
+        JOIN n2 pa ON pa.doc_id = a.doc_id
+        JOIN n2 pb ON pb.doc_id = b.doc_id
+        WHERE a.doc_id IN (0, 3, 6) AND b.doc_id <> a.doc_id
+        GROUP BY a.doc_id, b.doc_id, pa.s, pb.s),
+ranked AS (SELECT probe_id, vec_id, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                       ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+           FROM cos)
+SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 3"""
 
     # winnow_fingerprints, tiles_e2e, relations_multipolygon, pbf_scan:
     # non-SQL-expressible (pandas-UDF rolling hash / binary MVT assembly /

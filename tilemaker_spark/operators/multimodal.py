@@ -41,6 +41,16 @@ def _fake_image(seed: int, w: int, h: int) -> bytes:
     return b"FIMG" + struct.pack("<HH", w, h) + px.tobytes()
 
 
+def _fake_image_linear(seed: int, w: int, h: int) -> bytes:
+    """Arithmetic pixel ramp — pixel j = (seed*31 + j*7) % 256. Same
+    container as _fake_image but reproducible in ANSI SQL, so pipelines
+    built on it (decode -> embed -> knn) can be oracle-checked
+    end-to-end in DuckDB rather than rows-only."""
+    idx = np.arange(w * h, dtype=np.int64)
+    px = ((seed * 31 + idx * 7) % 256).astype(np.uint8)
+    return b"FIMG" + struct.pack("<HH", w, h) + px.tobytes()
+
+
 def _fake_audio(seed: int, sr: int, n: int) -> bytes:
     rng = np.random.default_rng(seed)
     pcm = (np.sin(np.arange(n) * (seed % 7 + 1) * 0.01) * 8000
@@ -54,9 +64,12 @@ def _fake_video(seed: int, w: int, h: int, frames: int) -> bytes:
     return b"FVID" + struct.pack("<HHH", w, h, frames) + px.tobytes()
 
 
-def make_media(spark: SparkSession, n: int = 300) -> DataFrame:
+def make_media(spark: SparkSession, n: int = 300,
+               linear_px: bool = False) -> DataFrame:
     """Deterministic media table, generated distributed (mapInPandas over
-    spark.range — no driver materialization)."""
+    spark.range — no driver materialization). linear_px=True swaps the
+    RNG image pixels for the SQL-expressible arithmetic ramp (audio and
+    video payloads are unaffected)."""
 
     def gen(batches):
         for pdf in batches:
@@ -66,7 +79,8 @@ def make_media(spark: SparkSession, n: int = 300) -> DataFrame:
                 kind = ("image", "audio", "video")[did % 3]
                 if kind == "image":
                     w, h = 16 + did % 48, 16 + (did * 7) % 48
-                    rows.append((did, kind, _fake_image(did, w, h),
+                    mk = _fake_image_linear if linear_px else _fake_image
+                    rows.append((did, kind, mk(did, w, h),
                                  (w, h, None, None, "fimg")))
                 elif kind == "audio":
                     sr, ns = 16000, 1000 + (did * 37) % 4000
@@ -146,15 +160,20 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
             .mapInPandas(run, schema="doc_id long, payload binary"))
 
 
-def image_embeddings(media: DataFrame, grid: int = 4) -> DataFrame:
+def image_embeddings(media: DataFrame, grid: int = 4,
+                     dtype: str = "float") -> DataFrame:
     """Feature extraction: grid x grid mean-pooled intensity vector
-    (array<float>) — joins the similarity-search operators downstream."""
+    (array<float> by default) — joins the similarity-search operators
+    downstream. dtype="double" pools in float64 (exact integer sums, so
+    the values are bit-reproducible by a SQL AVG over the same pixels —
+    the oracle path for linear_px media)."""
+    np_dtype = np.float64 if dtype == "double" else np.float32
 
     def run(batches):
         for pdf in batches:
             ids, vecs = [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = _decode_image_np(bytes(payload)).astype(np.float32)
+                img = _decode_image_np(bytes(payload)).astype(np_dtype)
                 h, w = img.shape
                 gh, gw = max(h // grid, 1), max(w // grid, 1)
                 feat = [float(img[i * gh:(i + 1) * gh,
@@ -166,7 +185,7 @@ def image_embeddings(media: DataFrame, grid: int = 4) -> DataFrame:
 
     return (media.filter(F.col("kind") == "image")
             .select("doc_id", "payload")
-            .mapInPandas(run, schema="doc_id long, embedding array<float>"))
+            .mapInPandas(run, schema=f"doc_id long, embedding array<{dtype}>"))
 
 
 def audio_stats(media: DataFrame) -> DataFrame:
