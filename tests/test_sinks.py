@@ -46,6 +46,17 @@ def test_hilbert_adjacency():
         prev = (x, y)
 
 
+def test_hilbert_vectorized_matches_scalar():
+    import numpy as np
+    rng = np.random.default_rng(11)
+    zs = rng.integers(0, 15, 2000)
+    xs = np.array([rng.integers(0, 1 << z) if z else 0 for z in zs])
+    ys = np.array([rng.integers(0, 1 << z) if z else 0 for z in zs])
+    vec = sinks.hilbert_d_np(zs, xs, ys)
+    assert all(int(v) == sinks.hilbert_d(int(z), int(x), int(y))
+               for v, z, x, y in zip(vec, zs, xs, ys))
+
+
 def test_mbtiles_roundtrip(spark, tiles_df, tmp_path):
     path = str(tmp_path / "t.mbtiles")
     n = sinks.write_mbtiles(tiles_df, path, {"name": "t"})

@@ -64,14 +64,42 @@ def zxy_to_tileid(z: int, x: int, y: int) -> int:
     return acc + hilbert_d(z, x, y)
 
 
+def hilbert_d_np(z, x, y):
+    """Vectorized hilbert_d: the per-bit rotation lifts directly to
+    numpy bit math; rows at different zooms share one pass by masking
+    bit levels >= their own z (the scalar loop starts at s = 2^(z-1))."""
+    import numpy as np
+    z = np.asarray(z, dtype=np.int64)
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    for k in range(int(z.max(initial=0)) - 1, -1, -1):
+        s = np.int64(1) << k
+        active = k < z
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d = np.where(active, d + s * s * ((3 * rx) ^ ry), d)
+        flip = active & (ry == 0) & (rx == 1)
+        swap = active & (ry == 0)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x = np.where(swap, yf, xf)
+        y = np.where(swap, xf, yf)
+    return d
+
+
 def with_tileid(tiles: DataFrame) -> DataFrame:
-    """Add the PMTiles tile id as a column (pure Column math: the zoom
-    offset is a lookup; the hilbert index via a vectorized UDF would
-    break codegen, so we compute it where needed on the export path)."""
+    """Add the PMTiles tile id as a column. Arrow-batched pandas UDF
+    over the vectorized hilbert kernel — no per-row Python anywhere on
+    the export path; the zoom offset (4^z - 1) / 3 is closed-form."""
     @pandas_udf("long")
     def tid(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series([zxy_to_tileid(int(a), int(b), int(c))
-                          for a, b, c in zip(z, x, y)])
+        import numpy as np
+        zv = z.to_numpy(dtype="int64")
+        offset = ((np.int64(1) << (2 * zv)) - 1) // 3
+        return pd.Series(offset + hilbert_d_np(zv,
+                                               x.to_numpy(dtype="int64"),
+                                               y.to_numpy(dtype="int64")))
 
     return tiles.withColumn("tileid", tid("z", "x", "y"))
 
