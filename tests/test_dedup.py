@@ -107,3 +107,40 @@ def test_simhash_bits_width_validation(spark):
         simhash_bits(docs, 63)
     with pytest.raises(ValueError):
         simhash_bits(docs, 0)
+
+
+def test_hot_shingle_df_cap(spark):
+    """Frequency-capped shingles: a planted stop-shingle shared by every
+    doc must stop generating candidate pairs, while genuine near-dups
+    (sharing many sub-cap shingles) are still found."""
+    from tilemaker_spark.operators.dedup import (drop_hot_shingles,
+                                                 minhash_lsh_pairs,
+                                                 ngram_jaccard_pairs,
+                                                 shingles)
+
+    body = " ".join(f"w{i} w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        # 0/1 near-dups; 2..9 unrelated except the stop bigram "of the"
+        [(0, "of the " + body), (1, "of the " + body + " tail")]
+        + [(i, f"of the u{i}a u{i}b u{i}c u{i}d") for i in range(2, 10)],
+        "doc_id long, text string")
+
+    sh = shingles(docs, 2)
+    capped = drop_hot_shingles(sh, max_df=5)
+    kept = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert "of the" not in kept          # df=10 > cap
+    assert any(s.startswith("w0") for s in kept)
+
+    # capped exact-jaccard: the unrelated docs share ONLY the stop
+    # shingle, so they produce no pair at all (not even a candidate)
+    pairs = ngram_jaccard_pairs(docs, 2, threshold=0.5, max_shingle_df=5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+    # capped LSH still verifies the genuine near-dup pair
+    lsh = minhash_lsh_pairs(docs, max_shingle_df=5)
+    got_lsh = {(r.doc_a, r.doc_b) for r in lsh.collect()}
+    for h in getattr(lsh, "_internal_persists", []):
+        h.unpersist()
+    assert (0, 1) in got_lsh
+    assert all(a < 2 and b < 2 for a, b in got_lsh)

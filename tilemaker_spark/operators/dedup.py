@@ -77,14 +77,37 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
                                 (F.col("na") + F.col("nb") - F.col("inter")), 6)))
 
 
+def drop_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Remove shingles whose document frequency exceeds max_df.
+
+    A stop-shingle ("of the") appearing in d documents creates O(d^2)
+    candidate pairs in any shingle-sharing join — the standard web-scale
+    mitigation is a df cap before pairing/banding. The hot set is tiny
+    by construction (at most total_instances / max_df shingles), so it
+    broadcasts; the corpus-side table never reshuffles.
+    """
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > max_df).select("shingle"))
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 2,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold,
     jaccard rounded to 6 decimals (oracle parity).
+
+    max_shingle_df (opt-in, default off so the oracle rows stay
+    byte-identical): drop shingles with document frequency above the
+    cap before pairing — kills the O(df^2) stop-shingle blow-up at
+    scale; jaccard is then computed over the surviving shingle sets.
     """
-    return (_pair_jaccard(shingles(docs, n))
+    sh = shingles(docs, n)
+    if max_shingle_df is not None:
+        sh = drop_hot_shingles(sh, max_shingle_df)
+    return (_pair_jaccard(sh)
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
@@ -110,7 +133,8 @@ def minhash_signatures(docs: DataFrame, n: int = 2, k: int = 16) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
                       rows_per_band: int = 2,
-                      threshold: float = 0.35) -> DataFrame:
+                      threshold: float = 0.35,
+                      max_shingle_df: int | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, verified by exact Jaccard.
 
     Bands of `rows_per_band` signature components are hashed; a pair
@@ -118,18 +142,29 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
     verified with the exact Jaccard (computed only for candidate
     pairs). Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
 
+    max_shingle_df (opt-in, default off — oracle rows byte-identical
+    when off): df-cap the shingle table first (see
+    :func:`drop_hot_shingles`) so a stop-shingle cannot fatten the
+    verify join's groups at web scale.
+
     The distinct-shingle table feeds FOUR subtrees (signatures, sizes,
     both sides of the verify join); Spark does not share that common
     subplan across joins (measured: 12 corpus scans / 26 exchanges,
     zero ReusedExchange), so it is persisted once — the canonical LSH
-    signature-matrix materialization. The handle is attached to the
-    result as ``_internal_persists`` for callers that want to release
-    it after materializing.
+    signature-matrix materialization. The signature matrix itself also
+    feeds BOTH sides of the band self-join, so it is persisted too (k
+    hex strings per doc — tiny next to the shingle table). Handles are
+    attached to the result as ``_internal_persists``; in-repo callers
+    (bench.py, tools/check_contract.py) release them after
+    materializing.
     """
     from pyspark import StorageLevel
 
-    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = _signatures_from_shingles(sh, k)
+    sh = shingles(docs, n)
+    if max_shingle_df is not None:
+        sh = drop_hot_shingles(sh, max_shingle_df)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_shingles(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = k // rows_per_band
     bands = []
     for b in range(n_bands):
@@ -164,7 +199,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
                                (F.col("na") + F.col("nb") - F.col("inter")), 6))
            .filter(F.col("jaccard") >= threshold)
            .select("doc_a", "doc_b", "jaccard"))
-    out._internal_persists = [sh]
+    out._internal_persists = [sh, sig]
     return out
 
 

@@ -328,6 +328,10 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
     as the next round's `remaining` is materialized (the per-round
     `res` handles stay cached — the lazy output references them — but
     they are small: ≤ k rows per probe, max_rounds handles total).
+    Every handle still cached at return is attached to the result as
+    ``_internal_persists`` (the same release convention as
+    assemble_tiles_salted / minhash_lsh_pairs): long-lived sessions
+    unpersist them after materializing the output.
 
     Stragglers after max_rounds take a final cell-ring round at z=1,
     which is COMPLETE by construction (the 3x3 ring at z=1 spans cell
@@ -352,6 +356,7 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
     remaining = probes
     z = cell_zoom
     pieces = []
+    persists = []  # handles still cached at return
     prev_round = None  # previous round's persisted `remaining`
     n_remaining = 1
     rounds = 0
@@ -371,6 +376,7 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
         res = knn_points(remaining, targets, k, probe_id=probe_id,
                          target_id=target_id, cell_zoom=z) \
             .persist(StorageLevel.MEMORY_AND_DISK)
+        persists.append(res)
         stats = res.groupBy(probe_id).agg(F.max("dist_m").alias("_kth"),
                                           F.count("*").alias("_n"))
         # Ring containment guarantee, made latitude- and wrap-safe
@@ -414,9 +420,12 @@ def knn_points_exact(probes: DataFrame, targets: DataFrame, k: int,
     if n_remaining > 0 or not pieces:
         pieces.append(knn_points(remaining, targets, k, probe_id=probe_id,
                                  target_id=target_id, cell_zoom=1))
+    if prev_round is not None:
+        persists.append(prev_round)
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    out._internal_persists = persists
     return out
 
 

@@ -85,6 +85,10 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # release operator-internal caches (the _internal_persists
+            # convention) so a 43-query run doesn't accumulate storage
+            for h in getattr(sdf, "_internal_persists", []):
+                h.unpersist()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
