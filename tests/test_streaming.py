@@ -190,3 +190,77 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     got2 = sessions()
     assert (1, t0 + 5400, t0 + 5400, 1) in got2
     assert not any(u == 3 for u, *_ in got2)
+
+
+class _FakeState:
+    """Minimal GroupState double: enforces Spark's own invariant that a
+    timeout must be set strictly after the current watermark."""
+    hasTimedOut = False
+
+    def __init__(self, st, wm_ms):
+        self._st, self._wm = st, wm_ms
+        self.timeout = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._st is not None
+
+    @property
+    def get(self):
+        return self._st
+
+    def update(self, v):
+        self._st = v
+
+    def remove(self):
+        self.removed = True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        assert ms > self._wm, "timeout at-or-before watermark (Spark throws)"
+        self.timeout = ms
+
+
+def _run_fn(gap_s, state, ts):
+    import pandas as pd
+
+    from tilemaker_spark.streaming.stateful import _make_fn
+    fn = _make_fn(gap_s)
+    out = list(fn((7,), [pd.DataFrame({"ts": ts})], state))
+    return [tuple(r) for pdf in out for r in pdf.itertuples(index=False)]
+
+
+def test_stateful_timeout_clamped_to_watermark():
+    # open session's last+gap is already BEHIND the watermark (late-but-
+    # admitted batch): without the clamp setTimeoutTimestamp throws
+    st = _FakeState((1000, 1200, 2), wm_ms=10_000_000)
+    out = _run_fn(60, st, [1100])  # late event, inside session span
+    assert out == []
+    assert st.timeout == 10_000_001  # watermark + 1ms
+    assert st.get == (1000, 1200, 3)  # merged, last NOT moved backwards
+
+
+def test_stateful_late_events_merge_against_state():
+    # in-span late event: counted, end unchanged
+    st = _FakeState((1000, 1300, 3), wm_ms=0)
+    assert _run_fn(60, st, [1100]) == []
+    assert st.get == (1000, 1300, 4)
+
+    # late event within gap BEFORE start: extends the session backwards
+    st = _FakeState((1000, 1300, 3), wm_ms=0)
+    assert _run_fn(60, st, [950]) == []
+    assert st.get == (950, 1300, 4)
+
+    # late event too old to merge: emitted as its own singleton session
+    st = _FakeState((1000, 1300, 3), wm_ms=0)
+    assert _run_fn(60, st, [100]) == [(7, 100, 100, 1)]
+    assert st.get == (1000, 1300, 3)
+
+    # mixed batch: late merge + in-gap extension + gap closure
+    st = _FakeState((1000, 1300, 3), wm_ms=0)
+    out = _run_fn(60, st, [1100, 1350, 2000])
+    assert out == [(7, 1000, 1350, 5)]
+    assert st.get == (2000, 2000, 1)

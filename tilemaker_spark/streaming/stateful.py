@@ -64,16 +64,36 @@ def _make_fn(gap_s: int):
             n = 0
         out = []
         for t in ts:
-            if last is not None and t - last > gap_s:
-                out.append((uid, start, last, n))
-                start, n = t, 0
-            if start is None:
-                start = t
-            last = t
-            n += 1
+            if last is None:
+                start = last = t
+                n = 1
+            elif t > last:
+                if t - last > gap_s:
+                    out.append((uid, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last = t
+                    n += 1
+            # late-but-admitted event (t <= last): merge against state
+            # instead of appending after `last` — `last` stays monotone
+            # so session_end cannot diverge from the batch oracle
+            elif t >= start:
+                n += 1  # falls inside the open session's span
+            elif start - t <= gap_s:
+                start = t  # extends the open session backwards
+                n += 1
+            else:
+                # too old to merge with the open session; its own
+                # session was already closed — emit as a singleton
+                out.append((uid, t, t, 1))
         state.update((start, last, n))
-        # evict when the event-time watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_s) * 1000)
+        # evict when the event-time watermark passes last + gap. Spark
+        # rejects a timeout at-or-before the current watermark (e.g. a
+        # batch of late-but-admitted events, or gap smaller than the
+        # watermark delay) — clamp to watermark + 1ms so the state
+        # times out on the next watermark advance instead of crashing.
+        state.setTimeoutTimestamp(max((last + gap_s) * 1000,
+                                      state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.DataFrame(out, columns=["user_id", "session_start",
                                              "session_end", "n_events"])
