@@ -153,3 +153,34 @@ def test_wkb_layer_scan(spark):
     inner = np.asarray(out["poly_hole"].rings[1], float).reshape(-1, 2)
     assert abs(abs(G.ring_area(inner)) - 1.0) < 1e-9
     assert len(out["multi"].rings) == 2
+
+
+def test_wkb_mixed_collection_keeps_first_type(spark):
+    """A heterogeneous GeometryCollection keeps only members of the
+    first member's geometry class (documented limitation) — later
+    polygon rings must NOT be reinterpreted as point/line parts."""
+    import struct
+
+    def poly(rings):
+        out = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", len(rings))
+        for r in rings:
+            out += struct.pack("<I", len(r))
+            for pxy in r:
+                out += struct.pack("<2d", *pxy)
+        return out
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    gc = (b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 3)
+          + _wkb_point(1.0, 2.0) + poly([sq]) + _wkb_point(5.0, 6.0))
+    gc_poly_first = (b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 2)
+                     + poly([sq]) + _wkb_point(1.0, 2.0))
+    df = spark.createDataFrame(
+        [("mixed_pt", bytearray(gc)), ("mixed_poly", bytearray(gc_poly_first))],
+        "name string, wkb binary")
+    out = {r.name: r for r in sources.read_wkb_layer(df, "test").collect()}
+    r = out["mixed_pt"]
+    assert r.geom_type == 1
+    assert [list(x) for x in r.rings] == [[1.0, 2.0], [5.0, 6.0]]
+    r2 = out["mixed_poly"]
+    assert r2.geom_type == 3
+    assert len(r2.rings) == 1 and len(r2.rings[0]) == 8  # closing pt dropped

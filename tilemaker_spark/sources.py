@@ -231,8 +231,17 @@ def _parse_wkb(buf: bytes):
             parts = []
             for _ in range(n):
                 b2, p2, pos = parse_geom(pos)
-                sub_base = sub_base or b2
-                parts.extend(p2)
+                if sub_base is None:
+                    sub_base = b2
+                # Multi* members are homogeneous by spec; a mixed
+                # GeometryCollection (type 7) keeps only members of the
+                # FIRST member's geometry class — one feature carries
+                # one geom_type, and reinterpreting e.g. polygon rings
+                # as line parts would corrupt downstream clipping.
+                # (Documented limitation: split mixed collections into
+                # separate rows upstream to keep every member.)
+                if b2 == sub_base:
+                    parts.extend(p2)
             return sub_base or 1, parts, pos
         raise ValueError(f"unsupported WKB geometry type {base}")
 
