@@ -252,6 +252,16 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                              rows_per_band=2, threshold=LSH_THRESHOLD)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: exact-jaccard pairs -> connected components
+    (min-label propagation) -> (doc_id, cluster_id, cluster_size).
+    The DuckDB twin recomputes components with a recursive CTE — an
+    entirely different algorithm, so convergence itself is checked."""
+    from tilemaker_spark.operators.dedup import dedup_clusters
+    return dedup_clusters(_docs(spark, sf_dir), n=2,
+                          threshold=JACCARD_THRESHOLD)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilemaker_spark.operators.dedup import simhash16
     return simhash16(_docs(spark, sf_dir))
@@ -767,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "token_stats": _q_token_stats,
@@ -1010,6 +1021,24 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= {LSH_THRESHOLD}"""
+
+    # dedup clustering twin: same pair list, components via a RECURSIVE
+    # CTE (label = min node id reachable) — independent of the Spark
+    # side's min-label propagation loop.
+    q["dedup_clusters"] = f"""
+WITH RECURSIVE {_shingle_cte()}, {_pair_jaccard_sql()},
+p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+cc(id, comp) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.b, cc.comp FROM cc JOIN e ON cc.id = e.a),
+lab AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id),
+siz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+        GROUP BY cluster_id)
+SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM lab JOIN siz USING (cluster_id)"""
 
     q["simhash_signatures"] = _simhash_sql()
 

@@ -144,3 +144,47 @@ def test_hot_shingle_df_cap(spark):
         h.unpersist()
     assert (0, 1) in got_lsh
     assert all(a < 2 and b < 2 for a, b in got_lsh)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a Python union-find oracle on a graph
+    with a long path (multi-round propagation), a star, and isolated
+    pairs."""
+    import random
+
+    from tilemaker_spark.operators.dedup import connected_components
+
+    rng = random.Random(5)
+    edges = [(i, i + 1) for i in range(100, 110)]          # path, diam 10
+    edges += [(200, t) for t in range(201, 209)]           # star
+    edges += [(300, 301), (302, 303)]                      # pairs
+    edges += [(rng.randrange(400, 430), rng.randrange(400, 430))
+              for _ in range(25)]                          # random blob
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    cc = connected_components(df)
+    got = {r.doc_id: r.cluster_id for r in cc.collect()}
+    for h in getattr(cc, "_internal_persists", []):
+        h.unpersist()
+    assert got == want
+    # canonical label is the component minimum
+    assert got[109] == 100 and got[208] == 200

@@ -308,3 +308,85 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     """
     return simhash_pairs_from_signatures(
         simhash_bits(docs, bits), max_hamming, bits)
+
+
+# ------------------------------------------------- dedup clustering (CC)
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair list: the step that
+    turns pairwise matches into dedup CLUSTERS (keep one doc per
+    component). Returns (doc_id, cluster_id) where cluster_id is the
+    smallest doc_id in the component — the canonical survivor.
+
+    Min-label propagation: each round every node adopts the minimum
+    label in its closed neighborhood; converged when no label changes.
+    Rounds = O(component diameter) — near-dup clusters are shallow
+    (duplicates of a common ancestor), so this terminates in a handful
+    of shuffles at any corpus size; each round is one equi-join + one
+    groupBy on the edge list, no driver materialization beyond the
+    per-round convergence count (one action per round, mirroring the
+    knn_points_exact contract).
+
+    Lineage is CHECKPOINT-TRUNCATED every round: persist alone leaves
+    the logical plan growing linearly and Catalyst re-analysis goes
+    superlinear (measured: round 6 of a 10-hop path took 26s vs 1.2s
+    for round 1). With a checkpoint dir set (cluster: resilient HDFS
+    checkpoints) ``DataFrame.checkpoint`` is used; otherwise
+    ``localCheckpoint`` (executor-local, the right call on local mode
+    and the common choice for iterative graph algorithms). Handles
+    still cached at return are exposed as ``_internal_persists``.
+    """
+    from pyspark import StorageLevel
+
+    half = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (half.union(half.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+
+    sc = pairs.sparkSession.sparkContext
+    has_ckpt_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+
+    def truncate(df):
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
+    labels = truncate(edges.select(F.col("a").alias("id")).distinct()
+                      .withColumn("label", F.col("id")))
+    persists = [edges]
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels.withColumnRenamed("id", "b"), "b")
+                   .groupBy("a").agg(F.min("label").alias("nbr_label"))
+                   .withColumnRenamed("a", "id"))
+        new_labels = truncate(
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("label", "nbr_label").alias("label")))
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "id")
+                   .filter(F.col("new_label") != F.col("label"))
+                   .count())  # the one action this round
+        labels.unpersist()  # old round: checkpointed+cached, now unused
+        labels = new_labels
+        if changed == 0:
+            break
+    persists.append(labels)
+    out = labels.select(F.col("id").alias("doc_id"),
+                        F.col("label").alias("cluster_id"))
+    out._internal_persists = persists
+    return out
+
+
+def dedup_clusters(docs: DataFrame, n: int = 2, threshold: float = 0.5,
+                   max_shingle_df: int | None = None) -> DataFrame:
+    """End-to-end near-dup clustering: exact n-gram Jaccard pairs at
+    `threshold` -> connected components -> (doc_id, cluster_id,
+    cluster_size), smallest doc_id canonical. Docs in no pair are
+    singletons and are omitted (their cluster is themselves)."""
+    pairs = ngram_jaccard_pairs(docs, n, threshold, max_shingle_df)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    out = cc.join(sizes, "cluster_id") \
+        .select("doc_id", "cluster_id", "cluster_size")
+    out._internal_persists = getattr(cc, "_internal_persists", [])
+    return out
