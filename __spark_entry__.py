@@ -277,6 +277,39 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
 
+# Deterministic html envelope for the extraction query: script/style
+# blocks with a raw '<' inside, nested tags, and DOUBLE-escaped
+# entities — every branch of the extractor is exercised and the
+# expected output is closed-form per doc.
+_HTML_PRE = ('<html><head><title>T</title>'
+             '<script type="text/javascript">var x = 1 < 2; // &amp;'
+             '</script><style>.a{color:red}</style></head><body><h1>doc ')
+_HTML_MID = '</h1><p>'
+_HTML_POST = ' &amp; tail &lt;b&gt;</p></body></html>'
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML->text extraction (the Common-Crawl ingest step of the
+    mandated pages table; north-rule per-row invariant: extracted text
+    byte-identical per url). The html BINARY column is constructed
+    deterministically from documents.text, the JVM-side extractor runs
+    over it, and roundtrip_exact asserts the closed-form expected text
+    in-band — so the oracle checks semantics, not just Spark==DuckDB."""
+    from tilemaker_spark.operators.text_analysis import extract_text_from_html
+    d = _docs(spark, sf_dir)
+    html = F.concat(F.lit(_HTML_PRE), F.col("doc_id").cast("string"),
+                    F.lit(_HTML_MID), F.col("text"), F.lit(_HTML_POST))
+    pages = d.select("doc_id", "text", F.encode(html, "utf-8").alias("html"))
+    ext = extract_text_from_html(pages)
+    expected = F.concat(F.lit("T doc "), F.col("doc_id").cast("string"),
+                        F.lit(" "), F.col("text"), F.lit(" & tail <b>"))
+    return ext.select(
+        "doc_id",
+        F.md5("text_extracted").alias("extract_md5"),
+        F.length("text_extracted").cast("long").alias("n_chars"),
+        (F.col("text_extracted") == expected).alias("roundtrip_exact"))
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilemaker_spark.operators.text_analysis import quality_score
     return quality_score(_docs(spark, sf_dir))
@@ -781,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "token_stats": _q_token_stats,
+        "html_extract": _q_html_extract,
         "quality_score": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
         "stream_window_counts": _q_stream_window,
@@ -1062,6 +1096,20 @@ SELECT doc_id, CAST(n_chars_txt AS BIGINT) AS n_chars_txt,
            AS avg_token_len,
        round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS uniq_ratio
 FROM t"""
+
+    from tilemaker_spark.operators.text_analysis import SQL_EXTRACT_TEXT
+    _sql_ext = SQL_EXTRACT_TEXT.format(col="s")
+    q["html_extract"] = (
+        "WITH h AS (SELECT doc_id, text, '"
+        + _HTML_PRE.replace("'", "''")
+        + "' || CAST(doc_id AS VARCHAR) || '" + _HTML_MID + "' || text || '"
+        + _HTML_POST.replace("'", "''")
+        + "' AS s FROM documents), "
+        "e AS (SELECT doc_id, text, " + _sql_ext + " AS t FROM h) "
+        "SELECT doc_id, md5(t) AS extract_md5, "
+        "CAST(length(t) AS BIGINT) AS n_chars, "
+        "(t = 'T doc ' || CAST(doc_id AS VARCHAR) || ' ' || text "
+        "|| ' & tail <b>') AS roundtrip_exact FROM e")
 
     stop_list = ", ".join(f"'{s}'" for s in
                           ["the", "a", "of", "and", "to", "in"])

@@ -25,6 +25,46 @@ def test_text_byte_identity_per_url(spark):
     assert n_match == n_total
 
 
+def test_extracted_text_byte_identity_per_url(spark):
+    """North-rule phrasing verbatim: EXTRACTED text (html binary ->
+    extractor, not the stored column) is byte-identical per url."""
+    from tilemaker_spark.operators.text_analysis import extract_text_from_html
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    ext = extract_text_from_html(pages)
+    n_total = ext.count()
+    n_match = ext.filter(F.col("text_extracted") == F.col("text")).count()
+    assert n_total == pages.count()
+    assert n_match == n_total
+
+
+def test_extract_text_edge_cases(spark):
+    """Extractor semantics on script/style blocks (raw '<' inside),
+    inline vs block tags, entity order (&amp; last), and whitespace
+    collapse — Spark side; the DuckDB twin is hash-checked by the
+    html_extract contract query."""
+    from tilemaker_spark.operators.text_analysis import extract_text_from_html
+
+    cases = [
+        ('<html><head><script>var x = 1 < 2;</script>'
+         '<style>.a{color:red}</style></head>'
+         '<body><h1>A</h1><p>b c</p></body></html>', "A b c"),
+        ("<p>a</p>\n\n<p>b</p>", "a b"),
+        ("plain", "plain"),
+        ("<br/>x<b>y</b>z", "x y z"),
+        ("&amp;lt;esc&amp;gt; &quot;q&#39;s&quot; &amp; done",
+         "&lt;esc&gt; \"q's\" & done"),
+        ("  lots\t of\n whitespace  ", "lots of whitespace"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h.encode()) for i, (h, _) in enumerate(cases)],
+        "doc_id long, html binary")
+    got = {r.doc_id: r.text_extracted
+           for r in extract_text_from_html(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def _tile_hashes(spark, seed_pages):
     cfg = default_config()
     cfg.basezoom = 11  # pages min_zoom is 10 for the synthetic text length

@@ -124,6 +124,64 @@ def lang_id(docs: DataFrame) -> DataFrame:
                        (F.col("lang") == pred).alias("agree"))
 
 
+# --------------------------------------------- html -> text extraction
+
+def extract_text_from_html(pages: DataFrame,
+                           html_col: str = "html") -> DataFrame:
+    """HTML -> text extraction over the binary ``html`` column — the
+    Common-Crawl ingest step of the mandated pages table
+    (url, warc_ts, html:binary, text, lang). The north-rule per-row
+    invariant is that the EXTRACTED text is byte-identical per url;
+    this operator makes that checkable end-to-end instead of treating
+    the stored ``text`` column as given.
+
+    Entirely JVM-side Column expressions (regexp_replace / replace
+    under whole-stage codegen — no Python in the hot path), with an
+    exact ANSI-SQL twin for the DuckDB oracle. Extraction rules, in
+    order (each step is deterministic and oracle-reproducible):
+
+      1. decode the bytes as UTF-8;
+      2. drop <script>...</script> and <style>...</style> blocks
+         including their content (case-insensitive, dot-matches-all,
+         lazy — so a ``<`` inside script text never leaks);
+      3. replace every remaining tag ``<...>`` with a space (block
+         tags separate words; the whitespace collapse below undoes
+         the cost for inline tags);
+      4. unescape the five named XML entities, ``&amp;`` LAST so an
+         escaped entity (``&amp;lt;``) does not double-decode;
+      5. collapse whitespace runs to a single space and trim.
+
+    Returns the input plus ``text_extracted``. Regexes avoid
+    backreferences and lookaround so the Java-regex Spark side and
+    the RE2 DuckDB side agree byte-for-byte.
+    """
+    s = F.decode(F.col(html_col), "utf-8")
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return pages.withColumn("text_extracted", s)
+
+
+#: DuckDB/ANSI-SQL twin of :func:`extract_text_from_html` — a SQL
+#: expression template over a VARCHAR column name (RE2 'g' flag makes
+#: regexp_replace global like Java's default).
+SQL_EXTRACT_TEXT = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace("
+    "regexp_replace(regexp_replace(regexp_replace({col}, "
+    "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+    "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+    "'<[^>]*>', ' ', 'g'), "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+    "'&#39;', ''''), '&amp;', '&'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
 # --------------------------------------------- winnowing fingerprint
 
 def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
