@@ -252,6 +252,20 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                              rows_per_band=2, threshold=LSH_THRESHOLD)
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: docs with doc_id % 10 == 0 are the NEW
+    crawl batch, the rest the existing corpus; candidates are band
+    collisions new x (corpus + earlier new), verified by exact
+    Jaccard. corpus_bands derived in-plan here (the stored-index path
+    is exercised in test_dedup.py)."""
+    from tilemaker_spark.operators.dedup import incremental_lsh_pairs
+    d = _docs(spark, sf_dir)
+    return incremental_lsh_pairs(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        n=NGRAM_N, k=16, rows_per_band=2, threshold=LSH_THRESHOLD)
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: exact-jaccard pairs -> connected components
     (min-label propagation) -> (doc_id, cluster_id, cluster_size).
@@ -810,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1055,6 +1070,40 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= {LSH_THRESHOLD}"""
+
+    # incremental twin: one banded table split by the new/corpus
+    # predicate; candidate union (new x corpus + new x new) then the
+    # exact-jaccard verify over the full shingle table — DuckDB has no
+    # notion of the stored band index, which is the point: it
+    # recomputes from scratch what the Spark side gets incrementally
+    q["dedup_incremental"] = f"""
+WITH {_shingle_cte()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({band_selects}),
+newb AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+corpb AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_id
+  FROM newb a JOIN corpb b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id
+  FROM newb a JOIN newb b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND b.doc_id < a.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT c.new_id, c.dup_id, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.new_id
+          JOIN sh y ON y.doc_id = c.dup_id AND y.shingle = x.shingle
+          GROUP BY c.new_id, c.dup_id)
+SELECT i.new_id, i.dup_id,
+       round(i.i / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.new_id
+JOIN sizes sb ON sb.doc_id = i.dup_id
+WHERE round(i.i / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE), 6)
+      >= {LSH_THRESHOLD}"""
 
     # dedup clustering twin: same pair list, components via a RECURSIVE
     # CTE (label = min node id reachable) — independent of the Spark

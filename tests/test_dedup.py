@@ -188,3 +188,49 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
     # canonical label is the component minimum
     assert got[109] == 100 and got[208] == 200
+
+
+def test_incremental_lsh_pairs(spark):
+    """Cross-snapshot dedup: new-batch docs near-dupping corpus docs
+    and earlier new docs are found; corpus-corpus duplicates are NEVER
+    re-reported; the stored band-index path gives identical results to
+    the derived-in-plan path."""
+    from tilemaker_spark.operators.dedup import (incremental_lsh_pairs,
+                                                 minhash_band_table)
+
+    base = " ".join(f"t{i} t{i}x" for i in range(40))
+    other = " ".join(f"q{i} q{i}y" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " alpha"),          # corpus-corpus near-dup
+         (3, other),
+         (4, " ".join(f"z{i} z{i}w" for i in range(40)))],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, base + " beta"),                    # dup of corpus 1/2
+         (101, other + " gamma"),                  # dup of corpus 3
+         (102, other + " gamma delta"),            # dup of 101 (new-new)
+         (103, " ".join(f"n{i} n{i}v" for i in range(40)))],  # unique
+        "doc_id long, text string")
+
+    out = incremental_lsh_pairs(new, corpus, threshold=0.5)
+    got = {(r.new_id, r.dup_id) for r in out.collect()}
+    for h in getattr(out, "_internal_persists", []):
+        h.unpersist()
+
+    assert (100, 1) in got and (100, 2) in got
+    assert (101, 3) in got
+    assert (102, 101) in got                       # earlier-new wins
+    assert not any(n == 103 for n, _ in got)
+    # corpus-corpus pair (1,2) must not appear in any orientation
+    assert not any({n, d} == {1, 2} for n, d in got)
+    # every left side is a NEW doc
+    assert all(n >= 100 for n, _ in got)
+
+    # stored-index path: precomputed band table == derived-in-plan
+    idx = minhash_band_table(corpus)
+    out2 = incremental_lsh_pairs(new, corpus, threshold=0.5,
+                                 corpus_bands=idx)
+    got2 = {(r.new_id, r.dup_id) for r in out2.collect()}
+    for h in getattr(out2, "_internal_persists", []):
+        h.unpersist()
+    assert got2 == got

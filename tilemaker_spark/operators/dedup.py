@@ -131,6 +131,32 @@ def minhash_signatures(docs: DataFrame, n: int = 2, k: int = 16) -> DataFrame:
     return _signatures_from_shingles(shingles(docs, n), k)
 
 
+def _band_explode(sig: DataFrame, k: int, rows_per_band: int) -> DataFrame:
+    """Signature matrix -> persistent LSH band index
+    (doc_id, band_id, band_hash). This is the table a crawl pipeline
+    stores between snapshots: new batches join against it without
+    touching old text (see :func:`incremental_lsh_pairs`)."""
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bands.append(F.struct(F.lit(b).alias("band_id"),
+                              F.md5(F.concat(*cols)).alias("band_hash")))
+    return (sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+            .select("doc_id", "band.band_id", "band.band_hash"))
+
+
+def minhash_band_table(docs: DataFrame, n: int = 2, k: int = 16,
+                       rows_per_band: int = 2) -> DataFrame:
+    """Compute the storable LSH band index for a corpus:
+    (doc_id, band_id, band_hash). Write this to parquet partitioned by
+    band_id; incremental crawls then band only the NEW batch and
+    equi-join here — the corpus is never re-shingled."""
+    return _band_explode(
+        _signatures_from_shingles(shingles(docs, n), k), k, rows_per_band)
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
                       rows_per_band: int = 2,
                       threshold: float = 0.35,
@@ -165,15 +191,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
         sh = drop_hot_shingles(sh, max_shingle_df)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = _signatures_from_shingles(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
-    n_bands = k // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        bands.append(F.struct(F.lit(b).alias("band_id"),
-                              F.md5(F.concat(*cols)).alias("band_hash")))
-    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")) \
-        .select("doc_id", "band.band_id", "band.band_hash")
+    banded = _band_explode(sig, k, rows_per_band)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     cand = (a.join(b, ["band_id", "band_hash"])
@@ -200,6 +218,90 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
            .filter(F.col("jaccard") >= threshold)
            .select("doc_a", "doc_b", "jaccard"))
     out._internal_persists = [sh, sig]
+    return out
+
+
+def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
+                          n: int = 2, k: int = 16,
+                          rows_per_band: int = 2,
+                          threshold: float = 0.35,
+                          corpus_bands: DataFrame | None = None) -> DataFrame:
+    """Incremental (cross-snapshot) near-dup detection: a NEW crawl
+    batch against the EXISTING corpus — the per-snapshot dedup step of
+    a continuously-ingesting web pipeline, where re-running all-corpus
+    LSH per crawl is the classic scale mistake.
+
+    Candidates are band collisions of new x corpus plus new x new
+    (earlier-new-doc wins: dup_id < new_id for new-new pairs); each
+    candidate is verified with exact Jaccard. Returns
+    (new_id, dup_id, jaccard >= threshold) — a new doc with any row
+    here is a near-dup to drop/cluster; corpus-corpus pairs are by
+    construction never recomputed.
+
+    Scale contract: pass ``corpus_bands`` (the stored
+    :func:`minhash_band_table` index, parquet-partitioned by band_id)
+    and the corpus text is read ONLY for verified candidates via a
+    semi-join on the candidate dup ids — per-crawl cost is
+    O(new batch + collisions), independent of corpus size. When
+    ``corpus_bands`` is None (tests / first snapshot) the index is
+    derived from ``corpus_docs`` in-plan. New and corpus doc_ids must
+    be disjoint. Persisted handles are exposed as
+    ``_internal_persists``.
+    """
+    from pyspark import StorageLevel
+
+    sh_new = shingles(new_docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    bands_new = _band_explode(
+        _signatures_from_shingles(sh_new, k), k, rows_per_band) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    if corpus_bands is None:
+        corpus_bands = minhash_band_table(corpus_docs, n, k, rows_per_band)
+
+    a = bands_new.select(F.col("doc_id").alias("new_id"),
+                         "band_id", "band_hash")
+    bc = corpus_bands.select(F.col("doc_id").alias("dup_id"),
+                             "band_id", "band_hash")
+    cross = (a.join(bc, ["band_id", "band_hash"])
+             .select("new_id", "dup_id"))
+    bn = bands_new.select(F.col("doc_id").alias("dup_id"),
+                          "band_id", "band_hash")
+    self_ = (a.join(bn, ["band_id", "band_hash"])
+             .filter(F.col("dup_id") < F.col("new_id"))
+             .select("new_id", "dup_id"))
+    cand = cross.union(self_).dropDuplicates() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    # corpus text only for candidate dup ids (semi-join keeps the scan
+    # pruned to the collision set), then the usual anchored verify
+    corp_cand = corpus_docs.join(
+        cand.select(F.col("dup_id").alias("doc_id")).dropDuplicates(),
+        "doc_id", "left_semi")
+    # the candidate-side shingle table feeds sizes + both verify join
+    # sides; persisting it keeps the corpus semi-join+shingle to ONE
+    # pass (without it the subtree re-runs three times)
+    sh_corp = shingles(corp_cand, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_ver = sh_new.union(sh_corp)
+    sizes = sh_ver.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh_ver.select(F.col("doc_id").alias("new_id"),
+                        F.col("shingle").alias("sh"))
+    shb = sh_ver.select(F.col("doc_id").alias("dup_id"),
+                        F.col("shingle").alias("sh"))
+    inter = (cand.join(sha, "new_id")
+             .join(shb, ["dup_id", "sh"])
+             .groupBy("new_id", "dup_id")
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("new_id"),
+                      F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("dup_id"),
+                      F.col("n_sh").alias("nb"))
+    out = (inter.join(na, "new_id").join(nb, "dup_id")
+           .withColumn("jaccard",
+                       F.round(F.col("inter") /
+                               (F.col("na") + F.col("nb") - F.col("inter")),
+                               6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("new_id", "dup_id", "jaccard"))
+    out._internal_persists = [sh_new, bands_new, cand, sh_corp]
     return out
 
 
