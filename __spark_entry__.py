@@ -99,6 +99,28 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("x", "y", "n_pages", "min_doc"))
 
 
+S2_LEVEL = 12
+
+
+def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell encoding (north-rule "vectorized H3/S2 cell encoding in
+    Arrow pandas UDFs"): bucket the geo-tagged pages by S2 cell at
+    S2_LEVEL. One Arrow-batched UDF computes the leaf id; face and the
+    level-truncated Hilbert position are JVM bit math, so the groupBy
+    stays in codegen. Oracle: an independent scalar replay of the same
+    public spec — a 30-step recursive CTE over the 16-row Hilbert
+    lookup relation (two from-scratch encoders must agree per row)."""
+    from tilemaker_spark.functions.s2 import (
+        s2_face_col, s2_pos_at_level_col, with_s2_cell)
+    g = with_s2_cell(_geo_docs(spark, sf_dir), level=S2_LEVEL)
+    return (g.groupBy(s2_face_col(F.col("_s2_leaf")).alias("face"),
+                      s2_pos_at_level_col(F.col("_s2_leaf"), S2_LEVEL)
+                      .alias("pos"))
+             .agg(F.count("*").alias("n_pages"),
+                  F.min("doc_id").alias("min_doc"))
+             .select("face", "pos", "n_pages", "min_doc"))
+
+
 def _q_zoom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: distinct occupied tiles per zoom 0..BASEZOOM, rolled up from
     the basezoom point assignment by bit shift."""
@@ -811,6 +833,7 @@ def _q_tiles_e2e_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_points": _q_tile_assign,
+        "s2_cells": _q_s2_cells,
         "zoom_rollup": _q_zoom_rollup,
         "spatial_join_pip": _q_spatial_join_pip,
         "knn_hot": _q_knn,
@@ -886,6 +909,52 @@ def _pair_jaccard_sql() -> str:
         "JOIN sizes nb ON inter.doc_b = nb.doc_id)")
 
 
+def _s2_cells_sql(level: int) -> str:
+    """DuckDB twin of `_q_s2_cells`: the identical float pipeline
+    (verified bit-exact sin/cos/sqrt against numpy on this libm) plus
+    a 30-step recursive-CTE Hilbert walk over the same lookup tables
+    the numpy kernel uses (emitted by `sql_s2_lut_values`)."""
+    from tilemaker_spark.functions.s2 import MAX_LEVEL, sql_s2_lut_values
+    rad = "0.017453292519943295"
+    shift_div = 1 << (2 * (MAX_LEVEL - level))
+    return f"""
+WITH RECURSIVE {_geo_cte()},
+xyz AS (SELECT doc_id,
+  cos(lat*{rad})*cos(lon*{rad}) AS x,
+  cos(lat*{rad})*sin(lon*{rad}) AS y,
+  sin(lat*{rad}) AS z FROM geo),
+fc AS (SELECT doc_id, x, y, z,
+  CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+         THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+       WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+       ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face FROM xyz),
+uv AS (SELECT doc_id, face,
+  CASE face WHEN 0 THEN y/x WHEN 1 THEN -(x/y) WHEN 2 THEN -(x/z)
+            WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -(y/z) END AS u,
+  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -(y/z)
+            WHEN 3 THEN y/x WHEN 4 THEN -(x/y) ELSE -(x/z) END AS v FROM fc),
+st AS (SELECT doc_id, face,
+  CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*abs(u)) ELSE 1-0.5*sqrt(1+3*abs(u)) END AS s,
+  CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*abs(v)) ELSE 1-0.5*sqrt(1+3*abs(v)) END AS t FROM uv),
+ij AS (SELECT doc_id, face,
+  least(greatest(CAST(floor(s*1073741824.0) AS BIGINT), 0), 1073741823) AS i,
+  least(greatest(CAST(floor(t*1073741824.0) AS BIGINT), 0), 1073741823) AS j FROM st),
+lut(orient, ij2, pos_bits, next_orient) AS (VALUES {sql_s2_lut_values()}),
+hil AS (
+  SELECT doc_id, face, i, j, 29 AS k, CAST(0 AS BIGINT) AS pos,
+         face % 2 AS orient FROM ij
+  UNION ALL
+  SELECT h.doc_id, h.face, h.i, h.j, h.k - 1, h.pos*4 + l.pos_bits,
+         l.next_orient
+  FROM hil h JOIN lut l ON l.orient = h.orient
+   AND l.ij2 = ((h.i // (CAST(1 AS BIGINT) << h.k)) % 2)*2
+              + ((h.j // (CAST(1 AS BIGINT) << h.k)) % 2)
+  WHERE h.k >= 0)
+SELECT face, pos // {shift_div} AS pos,
+       count(*) AS n_pages, min(doc_id) AS min_doc
+FROM hil WHERE k = -1 GROUP BY 1, 2"""
+
+
 def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return (f"2.0 * 6371000.0 * asin(sqrt(pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) "
             f"+ cos(radians({lat1})) * cos(radians({lat2})) "
@@ -920,6 +989,8 @@ WITH {_geo_cte()}
 SELECT {sql_tile_x('lon', tz)} AS x, {sql_tile_y('lat', tz)} AS y,
        count(*) AS n_pages, min(doc_id) AS min_doc
 FROM geo GROUP BY 1, 2"""
+
+    q["s2_cells"] = _s2_cells_sql(S2_LEVEL)
 
     q["zoom_rollup"] = f"""
 WITH {_geo_cte()},
