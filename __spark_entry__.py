@@ -361,6 +361,73 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(_docs(spark, sf_dir))
 
 
+# ------------------------------------------------- webtext curation
+# Deterministic page-synthesis knobs shared by the Spark queries and
+# their SQL twins (the documents view is the only oracle input, so url
+# / warc_ts / PII spans are derived from doc_id identically on both
+# sides — the html_extract recipe).
+HOST_MOD = 57       # pages per synthetic host ~ n/57
+URL_DEDUP_MOD = 97  # crawl snapshots per url ~ n/97
+
+
+def _synth_url(prefix_www_mod: int = 3):
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % prefix_www_mod == 0, F.lit("www.")
+               ).otherwise(F.lit("")),
+        F.lit("site"), (F.col("doc_id") % HOST_MOD).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"))
+
+
+def _q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus stats over synthesized pages (www-stripping +
+    registrable-domain extraction exercised by construction)."""
+    from tilemaker_spark.operators.webtext import url_host_stats
+    pages = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return url_host_stats(pages)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect+redact: spans injected deterministically from doc_id
+    (1-2 emails, an IPv4, a phone per doc), scrubbed text md5-digested
+    so the oracle checks the exact redaction bytes."""
+    from tilemaker_spark.operators.webtext import pii_scrub
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"), F.lit(".org ip 10.0."),
+        (did % 256).cast("string"), F.lit("."), (did % 40).cast("string"),
+        F.when(did % 3 == 0, F.lit(" and admin@corp.net")).otherwise(F.lit("")),
+        F.lit(" call "), (100 + did % 900).cast("string"),
+        F.lit("-"), (1000 + did % 9000).cast("string"))
+    out = pii_scrub(d.select("doc_id", pii_text.alias("text")))
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+        F.length("text_scrubbed").cast("long").alias("n_chars"))
+
+
+def _q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-per-url dedup over a synthesized re-crawl (url
+    collides on doc_id % URL_DEDUP_MOD, warc_ts increases with doc_id)."""
+    from tilemaker_spark.operators.webtext import url_dedup_latest
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://site.example/p/"),
+                 (F.col("doc_id") % URL_DEDUP_MOD).cast("string")).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"))
+    return url_dedup_latest(pages)
+
+
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tilemaker_spark.operators.webtext import repetition_signals
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -853,6 +920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "token_stats": _q_token_stats,
         "html_extract": _q_html_extract,
+        "url_host_stats": _q_url_host_stats,
+        "pii_scrub": _q_pii_scrub,
+        "url_dedup_latest": _q_url_dedup_latest,
+        "repetition_signals": _q_repetition_signals,
         "quality_score": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
         "stream_window_counts": _q_stream_window,
@@ -1230,6 +1301,75 @@ FROM t"""
         "CAST(length(t) AS BIGINT) AS n_chars, "
         "(t = 'T doc ' || CAST(doc_id AS VARCHAR) || ' ' || text "
         "|| ' & tail <b>') AS roundtrip_exact FROM e")
+
+    from tilemaker_spark.operators.webtext import (
+        EMAIL_RE, HOST_RE, IPV4_RE, PHONE_RE)
+    q["url_host_stats"] = f"""
+WITH pages AS (
+  SELECT doc_id, text, lang,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+         || 'site' || CAST(doc_id % {HOST_MOD} AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (SELECT *, regexp_replace(lower(regexp_extract(url, '{HOST_RE}', 1)),
+                               '^www\\.', '') AS host
+      FROM pages)
+SELECT host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+       count(*) AS n_pages, count(DISTINCT lang) AS n_langs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(length(text)), 6) AS avg_chars
+FROM h GROUP BY 1, 2"""
+
+    q["pii_scrub"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org ip 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN ' and admin@corp.net' ELSE '' END
+         || ' call ' || CAST(100 + doc_id % 900 AS VARCHAR)
+         || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+  FROM documents),
+s AS (SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+      FROM p)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(scrubbed) AS scrub_md5,
+       CAST(length(scrubbed) AS BIGINT) AS n_chars
+FROM s"""
+
+    q["url_dedup_latest"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://site.example/p/' || CAST(doc_id % {URL_DEDUP_MOD} AS VARCHAR) AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND AS warc_ts
+  FROM documents),
+ranked AS (
+  SELECT url, doc_id, warc_ts,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY url) AS ns
+  FROM pages)
+SELECT url, doc_id AS kept_doc, warc_ts AS latest_ts,
+       CAST(ns AS BIGINT) AS n_snapshots
+FROM ranked WHERE rn = 1"""
+
+    q["repetition_signals"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+       FROM toks, UNNEST(range(1, len(w))) t(i)),
+per AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       count(*) AS n_uniq_bigrams, CAST(max(c) AS BIGINT) AS top_count,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac,
+       round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+FROM per GROUP BY doc_id"""
 
     stop_list = ", ".join(f"'{s}'" for s in
                           ["the", "a", "of", "and", "to", "in"])

@@ -1,0 +1,66 @@
+"""Webtext curation operators: closed-form fixtures for PII scrubbing,
+host normalization, latest-snapshot dedup, and repetition signals."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tilemaker_spark.operators.webtext import (
+    pii_scrub, repetition_signals, url_dedup_latest, url_host_stats)
+
+
+def test_pii_scrub_redacts_known_spans(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.com then 192.168.0.1 "
+             "and 555-0199 end"),
+         (2, "clean text no pii 1234567 10.1 a@b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[1]["text_scrubbed"] == "mail <EMAIL> then <IP> and <PHONE> end"
+    # 'a@b' has no TLD, '10.1' is not 4 octets, '1234567' has no dash
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert out[2]["text_scrubbed"] == out[2]["text_scrubbed"]
+
+
+def test_url_host_stats_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "https://www.Example.COM/a", "hello world", "en"),
+         (2, "https://example.com/b", "bye", "de"),
+         (3, "http://sub.other.org/c?x=1", "hi", "en")],
+        "doc_id long, url string, text string, lang string")
+    rows = {r["host"]: r for r in url_host_stats(df).collect()}
+    assert rows["example.com"]["n_pages"] == 2
+    assert rows["example.com"]["n_langs"] == 2
+    assert rows["example.com"]["domain"] == "example.com"
+    assert rows["example.com"]["total_chars"] == 14
+    assert rows["sub.other.org"]["domain"] == "other.org"
+
+
+def test_url_dedup_latest_keeps_newest(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, "u/a", t0),
+            (2, "u/a", t0 + datetime.timedelta(hours=2)),
+            (3, "u/a", t0 + datetime.timedelta(hours=1)),
+            (4, "u/b", t0)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts timestamp")
+    out = {r["url"]: r for r in url_dedup_latest(df).collect()}
+    assert out["u/a"]["kept_doc"] == 2 and out["u/a"]["n_snapshots"] == 3
+    assert out["u/b"]["kept_doc"] == 4 and out["u/b"]["n_snapshots"] == 1
+    # deterministic tiebreak: equal timestamps keep the larger doc_id
+    df2 = spark.createDataFrame([(1, "u", t0), (9, "u", t0)],
+                                "doc_id long, url string, warc_ts timestamp")
+    assert url_dedup_latest(df2).collect()[0]["kept_doc"] == 9
+
+
+def test_repetition_signals_closed_form(spark):
+    # "a b a b a" -> bigrams [a b, b a, a b, b a]: 4 total, 2 uniq, top 2
+    df = spark.createDataFrame([(1, "a b a b a"), (2, "x y z")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert (out[1]["n_bigrams"], out[1]["n_uniq_bigrams"],
+            out[1]["top_count"]) == (4, 2, 2)
+    assert out[1]["top_frac"] == 0.5 and out[1]["dup_frac"] == 0.5
+    assert (out[2]["n_bigrams"], out[2]["n_uniq_bigrams"],
+            out[2]["top_count"]) == (2, 2, 1)
+    assert out[2]["dup_frac"] == 0.0

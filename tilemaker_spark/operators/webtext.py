@@ -1,0 +1,118 @@
+"""Web-corpus curation operators over the mandated pages table
+(url, warc_ts, html, text, lang): URL host normalization + per-domain
+stats, PII detection/redaction, latest-snapshot-per-url dedup, and
+Gopher-style bigram repetition signals.
+
+Training-data-pipeline extensions (no reference analog — the reference
+is a tile engine; these are the curation steps a Common-Crawl-scale
+corpus needs before the geo/tiling stages). Everything is pure Column
+expressions or a single shuffle keyed exactly how a 1000-executor run
+would want it:
+
+* `url_host_stats` — one regexp_extract + one groupBy(host): map-side
+  partial aggregation, no skew beyond real domain skew.
+* `pii_scrub` — regexp_count/regexp_replace chains, zero shuffles,
+  whole-stage codegen; patterns are written in the Java/RE2 common
+  subset so the DuckDB oracle replays them byte-identically.
+* `url_dedup_latest` — one window over url (the natural dedup key for
+  re-crawled pages); at scale this is a single hash shuffle on url.
+* `repetition_signals` — bigrams exploded then two partial-agg
+  groupBys on (doc_id, bigram) / (doc_id); no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Java-regex / RE2 common-subset patterns (no lookaround, no backrefs)
+# so Spark and the DuckDB oracle match the same spans.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def url_host_stats(pages: DataFrame) -> DataFrame:
+    """Per-host corpus stats: page count, distinct-language count,
+    total/avg extracted-text chars. Host is lowercased with a leading
+    ``www.`` stripped; `domain` is the last-two-label registrable
+    approximation (a public-suffix list is a drop-in upgrade)."""
+    raw = F.lower(F.regexp_extract("url", HOST_RE, 1))
+    host = F.regexp_replace(raw, "^www\\.", "")
+    return (pages
+            .withColumn("host", host)
+            .groupBy("host")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum(F.length("text")).cast("long").alias("total_chars"),
+                 F.round(F.avg(F.length("text")), 6).alias("avg_chars"))
+            .withColumn("domain",
+                        F.regexp_extract("host", "([^.]+\\.[^.]+)$", 1))
+            .select("host", "domain", "n_pages", "n_langs",
+                    "total_chars", "avg_chars"))
+
+
+def pii_scrub(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact common PII spans (emails, IPv4 addresses,
+    short phone numbers). Returns per-page counts plus the scrubbed
+    text; replacement order (email -> ip -> phone) is part of the
+    contract so reruns and the oracle agree byte-for-byte."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+    return pages.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed.alias("text_scrubbed"),
+    )
+
+
+def url_dedup_latest(pages: DataFrame) -> DataFrame:
+    """Keep the newest crawl snapshot per url (warc_ts desc, doc_id
+    desc as the deterministic tiebreak) — the canonical re-crawl dedup
+    for a Common-Crawl-style corpus. One hash shuffle on url."""
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(),
+                                          F.col("doc_id").desc())
+    return (pages
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("n_snapshots", F.count("*").over(
+                Window.partitionBy("url")))
+            .filter(F.col("_rn") == 1)
+            .select("url", F.col("doc_id").alias("kept_doc"),
+                    F.col("warc_ts").alias("latest_ts"),
+                    F.col("n_snapshots").cast("long").alias("n_snapshots")))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style duplicate-n-gram quality signals per document:
+    bigram totals, distinct count, most-frequent-bigram count, and the
+    two standard ratios (top-bigram fraction, duplicate-bigram
+    fraction). Bigrams are built JVM-side with zip_with over adjacent
+    token-array slices, then exploded into two partial-agg groupBys —
+    the same plan shape at 100 TB, keyed by (doc_id, bigram)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    per_bigram = (docs
+                  .select("doc_id", F.explode(bigrams).alias("bigram"))
+                  .groupBy("doc_id", "bigram")
+                  .agg(F.count("*").alias("c")))
+    return (per_bigram
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_bigrams"),
+                 F.count("*").alias("n_uniq_bigrams"),
+                 F.max("c").cast("long").alias("top_count"))
+            .select(
+                "doc_id", "n_bigrams", "n_uniq_bigrams", "top_count",
+                F.round(F.col("top_count") / F.col("n_bigrams"), 6)
+                .alias("top_frac"),
+                F.round(1.0 - F.col("n_uniq_bigrams") / F.col("n_bigrams"), 6)
+                .alias("dup_frac")))
