@@ -15,6 +15,23 @@ from tilemaker_spark.functions.overlay import (
 )
 
 
+def _perimeter(polys):
+    total = 0.0
+    for p in polys:
+        for ring in p:
+            r = np.asarray(ring)
+            total += np.hypot(*(np.roll(r, -1, axis=0) - r).T).sum()
+    return total
+
+
+def _grid_tol(polys, a_grid, lo=-1.0, hi=11.0, n=160):
+    """Error model for the grid-sampling oracle: every boundary cell can
+    be misclassified, so the oracle itself is only accurate to
+    O(perimeter * spacing). The kernel side is exact arithmetic."""
+    spacing = (hi - lo) / (n - 1)
+    return max(0.25, 0.08 * a_grid, 0.75 * _perimeter(polys) * spacing)
+
+
 def _grid_area(polys, lo=-1.0, hi=11.0, n=160, mode="union"):
     xs = np.linspace(lo, hi, n)
     ys = np.linspace(lo, hi, n)
@@ -76,7 +93,7 @@ def test_union_matches_grid(data):
     out = union_many(polys)
     a_union = sum(ring_area(r) for r in out)
     a_grid = _grid_area(polys, mode="union")
-    tol = max(0.25, 0.08 * a_grid)
+    tol = _grid_tol(polys, a_grid)
     assert abs(a_union - a_grid) < tol
     # union never below the largest input, never above the sum
     areas = [abs(ring_area(p[0])) for p in polys]
@@ -94,7 +111,7 @@ def test_intersection_matches_grid(data):
     assume(not needs_dissolve(a) and not needs_dissolve(b))
     got = intersection_area(a, b)
     grid = _grid_area([a, b], mode="intersection")
-    tol = max(0.25, 0.08 * max(grid, 1e-9))
+    tol = _grid_tol([a, b], max(grid, 1e-9))
     assert abs(got - grid) < tol
     assert got <= min(abs(ring_area(a[0])), abs(ring_area(b[0]))) + 1e-6
     assert got >= -1e-12
