@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "area_join_concave",
     "sessionize_events",
+    # round-4 additions
+    "s2_cells",
+    "html_extract",
+    "pii_scrub",
+    "simhash_pairs",
+    "dedup_incremental",
 ]
 
 
