@@ -1192,18 +1192,28 @@ WITH {_shingle_cte()}, {_pair_jaccard_sql()}
 SELECT doc_a, doc_b, jaccard FROM jac
 WHERE jaccard >= {JACCARD_THRESHOLD}"""
 
-    # banded MinHash LSH verified by exact jaccard
+    # banded MinHash LSH verified by exact jaccard. Twin of the
+    # Carter-Wegman family in operators/dedup.py: 31-bit md5-derived
+    # base hash, h_i = (a_i*base + b_i) mod 2^31-1, band hash = exact
+    # base-2^31 packing of the two band components (all products stay
+    # below 2^62 — DuckDB BIGINT never overflows, Spark longs never
+    # wrap, so the two engines compute identical integers).
+    from tilemaker_spark.operators.dedup import minhash_coeffs
     k, rpb = 16, 2
     mins = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k))
+        "min((base * {a} + {b}) % 2147483647) AS h{i}".format(
+            a=minhash_coeffs(i)[0], b=minhash_coeffs(i)[1], i=i)
+        for i in range(k))
+    base_cte = ("shb AS (SELECT doc_id, "
+                "(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) "
+                "& 2147483647) AS base FROM sh)")
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
-        + "md5(" + " || ".join(f"h{b * rpb + r}" for r in range(rpb))
-        + ") AS band_hash FROM sig"
+        f"(h{b * rpb} * 2147483648 + h{b * rpb + 1}) AS band_hash FROM sig"
         for b in range(k // rpb))
     q["dedup_minhash_lsh"] = f"""
-WITH {_shingle_cte()}, {_pair_jaccard_sql()},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+WITH {_shingle_cte()}, {_pair_jaccard_sql()}, {base_cte},
+sig AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id),
 banded AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM banded a JOIN banded b
@@ -1219,8 +1229,8 @@ WHERE j.jaccard >= {LSH_THRESHOLD}"""
     # notion of the stored band index, which is the point: it
     # recomputes from scratch what the Spark side gets incrementally
     q["dedup_incremental"] = f"""
-WITH {_shingle_cte()},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+WITH {_shingle_cte()}, {base_cte},
+sig AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id),
 banded AS ({band_selects}),
 newb AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
 corpb AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
