@@ -70,26 +70,46 @@ def _sf_from_dir(d: str) -> float:
         return 0.1
 
 
-def run_e2e(spark, n_pages: int, workdir: str) -> dict:
-    """pages -> features -> feature_tiles -> MVT tiles, fully fresh."""
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
+def run_e2e(spark, n_pages: int, workdir: str, repeats: int = 2) -> dict:
+    """pages -> features -> feature_tiles -> MVT tiles, fully fresh.
+
+    Best-of-``repeats`` full runs (fresh workdir each): this shared VM's
+    neighbor tenant bursts to load 8-13 every 20-30 min, and a burst
+    landing mid-run halves the headline for reasons that have nothing
+    to do with the engine. The start/end 1-min load is recorded so a
+    contaminated artifact is at least *visibly* contaminated."""
     from tilemaker_spark.config import default_config
     from tilemaker_spark.fixtures import make_pages
     from tilemaker_spark.plans.pipeline import TilePipeline
 
-    shutil.rmtree(workdir, ignore_errors=True)
     cfg = default_config()
     pages = make_pages(spark, n_pages)
-    pipe = TilePipeline(spark, cfg, workdir=workdir)
-    t0 = time.time()
-    tiles = pipe.run(pages, force=True)
-    n_tiles = pipe.metrics["tiles"]
-    dt = time.time() - t0
-    tile_stage_s = pipe.metrics["stages"]["tiles"]["seconds"]
-    return {"tiles": n_tiles, "seconds": round(dt, 2),
-            "tiles_per_sec": round(n_tiles / dt, 1),
-            "tile_stage_seconds": tile_stage_s,
-            "tile_stage_tiles_per_sec": round(n_tiles / tile_stage_s, 1),
-            "pages": n_pages}
+    best = None
+    load_start = _load1()
+    for _ in range(repeats):
+        shutil.rmtree(workdir, ignore_errors=True)
+        pipe = TilePipeline(spark, cfg, workdir=workdir)
+        t0 = time.time()
+        pipe.run(pages, force=True)
+        n_tiles = pipe.metrics["tiles"]
+        dt = time.time() - t0
+        tile_stage_s = pipe.metrics["stages"]["tiles"]["seconds"]
+        if best is None or dt < best["seconds"]:
+            best = {"tiles": n_tiles, "seconds": round(dt, 2),
+                    "tiles_per_sec": round(n_tiles / dt, 1),
+                    "tile_stage_seconds": tile_stage_s,
+                    "tile_stage_tiles_per_sec": round(
+                        n_tiles / tile_stage_s, 1),
+                    "pages": n_pages}
+    best["load_1min"] = [load_start, _load1()]
+    return best
 
 
 def _geom_features(spark):
@@ -139,9 +159,11 @@ def run_e2e_geom(spark) -> dict:
     measured 93x slower at this depth; BENCH/BASELINE.md)."""
     feats = _geom_features(spark)
     cfg = _geom_cfg(11)
-    t0 = time.time()
-    n = _geom_tiles(spark, feats, cfg, cfg.hierarchical_clip)
-    dt = time.time() - t0
+    dt = None
+    for _ in range(2):  # best-of-2 (see run_e2e on neighbor bursts)
+        t0 = time.time()
+        n = _geom_tiles(spark, feats, cfg, cfg.hierarchical_clip)
+        dt = min(time.time() - t0, dt or 1e18)
     return {"tiles": n, "seconds": round(dt, 2),
             "tiles_per_sec": round(n / dt, 1),
             "path": "hierarchical" if cfg.hierarchical_clip else "flat"}
@@ -153,12 +175,14 @@ def run_e2e_geom_pair(spark) -> dict:
     it is ~93x slower) — tracks the clip-cache win round-over-round."""
     feats = _geom_features(spark)
     cfg = _geom_cfg(9)
-    t0 = time.time()
-    n_h = _geom_tiles(spark, feats, cfg, True)
-    t_h = time.time() - t0
-    t0 = time.time()
-    n_f = _geom_tiles(spark, feats, cfg, False)
-    t_f = time.time() - t0
+    t_h = t_f = None
+    for _ in range(2):  # best-of-2 (see run_e2e on neighbor bursts)
+        t0 = time.time()
+        n_h = _geom_tiles(spark, feats, cfg, True)
+        t_h = min(time.time() - t0, t_h or 1e18)
+        t0 = time.time()
+        n_f = _geom_tiles(spark, feats, cfg, False)
+        t_f = min(time.time() - t0, t_f or 1e18)
     assert n_h == n_f, (n_h, n_f)
     return {"tiles": n_h, "basezoom": 9,
             "hier_seconds": round(t_h, 2), "flat_seconds": round(t_f, 2),
@@ -239,24 +263,26 @@ def main() -> None:
         import __spark_entry__ as entrymod
         qs = entrymod.queries()
         for name in BENCH_QUERIES:
-            best = None
-            for _ in range(2):
+            times = []
+            # min-of-2 normally; when the two runs disagree by >1.5x a
+            # neighbor-tenant burst likely spanned one of them (this
+            # shared VM cycles to load 8-13 every 20-30 min; 3-10x
+            # swings observed), so take up to 2 extra repeats hunting
+            # for a clean window
+            while len(times) < 2 or (min(times) * 1.5 < sorted(times)[1]
+                                     and len(times) < 4):
                 t0 = time.time()
                 # count() forces full execution, no driver materialization
                 qdf = qs[name](spark, SF_DIR)
                 qdf.count()
-                dt = time.time() - t0
+                times.append(time.time() - t0)
                 # release operator-internal caches BETWEEN runs: Spark's
                 # CacheManager matches by analyzed plan, so without this
                 # the second run silently reads the first run's persisted
-                # intermediates and min-of-2 reports a warm-cache number
+                # intermediates and min-of-N reports a warm-cache number
                 for h in getattr(qdf, "_internal_persists", []):
                     h.unpersist()
-                best = dt if best is None else min(best, dt)
-            # min of 2: single-shot numbers on this shared VM mix JVM/
-            # Python-worker cold start and neighbor-tenant bursts (3-10x
-            # swings observed); the repeat measures the steady state
-            queries[name] = round(best, 2)
+            queries[name] = round(min(times), 2)
 
     out = {
         "metric": "tiles/sec (end-to-end geometry->MVT)",
