@@ -42,6 +42,7 @@ PROBE_IDS = list(range(10))
 NGRAM_N = 2
 JACCARD_THRESHOLD = 0.4
 LSH_THRESHOLD = 0.35
+SPAN_K = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +307,14 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilemaker_spark.operators.dedup import simhash_pairs
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup stats (Lee et al. 2021): per doc, the
+    count and ratio of word 5-gram occurrences whose span text appears
+    in >= 2 distinct documents."""
+    from tilemaker_spark.operators.dedup import span_dedup_stats
+    return span_dedup_stats(_docs(spark, sf_dir), k=SPAN_K)
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "span_dedup": _q_span_dedup,
         "token_stats": _q_token_stats,
         "html_extract": _q_html_extract,
         "url_host_stats": _q_url_host_stats,
@@ -1286,6 +1296,25 @@ FROM lab JOIN siz USING (cluster_id)"""
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3")
+
+    # exact-substring span dedup: identical 60-bit md5-derived span
+    # key on both sides (the minhash base-hash recipe), occurrences
+    # WITH multiplicity — distinct from the DISTINCT-shingle CTE
+    _span_parts = " || ' ' || ".join(f"w[i + {j}]" for j in range(SPAN_K))
+    q["span_dedup"] = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sp AS (SELECT doc_id,
+         CAST(('0x' || substr(md5({_span_parts}), 1, 15)) AS BIGINT) AS h
+       FROM toks, UNNEST(range(1, len(w) - {SPAN_K - 2})) AS t(i)),
+dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+per AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+dupc AS (SELECT doc_id, count(*) AS dup_spans
+         FROM sp JOIN dup USING (h) GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+       round(coalesce(d.dup_spans, 0) / CAST(p.n_spans AS DOUBLE), 6)
+           AS dup_ratio
+FROM per p LEFT JOIN dupc d USING (doc_id)"""
 
     q["token_stats"] = """
 WITH t AS (SELECT doc_id, length(text) AS n_chars_txt,

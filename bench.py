@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "simhash_pairs",
     "dedup_incremental",
+    "span_dedup",
 ]
 
 

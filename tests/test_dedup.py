@@ -234,3 +234,87 @@ def test_incremental_lsh_pairs(spark):
     for h in getattr(out2, "_internal_persists", []):
         h.unpersist()
     assert got2 == got
+
+
+# ---------------------------------------------- exact-substring spans
+
+
+def _span_docs(spark):
+    """Planted corpus for span dedup (k=3):
+
+    - docs 0 and 1 share the 3-gram 'x y z' (cross-doc dup),
+    - doc 2 repeats 'p q r' TWICE but only within itself (must NOT
+      count: dup requires >= 2 distinct docs),
+    - doc 3 has < 3 tokens (no spans at all, absent from stats),
+    - doc 4 shares nothing.
+    """
+    rows = [
+        (0, "a b x y z c"),
+        (1, "x y z d e"),
+        (2, "p q r s p q r"),
+        (3, "t u"),
+        (4, "m n o m n"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_span_stats(rows, k):
+    from collections import Counter, defaultdict
+    doc_spans = {}
+    for doc_id, text in rows:
+        w = text.split(" ")
+        doc_spans[doc_id] = [" ".join(w[i:i + k])
+                             for i in range(len(w) - k + 1)]
+    span_docs = defaultdict(set)
+    for d, spans in doc_spans.items():
+        for s in spans:
+            span_docs[s].add(d)
+    dup = {s for s, ds in span_docs.items() if len(ds) >= 2}
+    out = {}
+    for d, spans in doc_spans.items():
+        if not spans:
+            continue
+        n_dup = sum(1 for s in spans if s in dup)
+        out[d] = (len(spans), n_dup, round(n_dup / len(spans), 6))
+    return out
+
+
+def test_span_dedup_stats_planted(spark):
+    from tilemaker_spark.operators.dedup import span_dedup_stats
+
+    docs = _span_docs(spark)
+    got = {r.doc_id: (r.n_spans, r.dup_spans, r.dup_ratio)
+           for r in span_dedup_stats(docs, k=3).collect()}
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    assert got == _brute_span_stats(rows, 3)
+    # the within-doc-only repeat in doc 2 contributes zero dup spans
+    assert got[2][1] == 0
+    # doc 3 (< k tokens) yields no stats row
+    assert 3 not in got
+
+
+def test_span_dedup_stats_random_vs_bruteforce(spark):
+    from tilemaker_spark.operators.dedup import span_dedup_stats
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 30))))
+            for d in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = span_dedup_stats(docs, k=4)
+    got = {r.doc_id: (r.n_spans, r.dup_spans, r.dup_ratio)
+           for r in res.collect()}
+    for h in getattr(res, "_internal_persists", []):
+        h.unpersist()
+    assert got == _brute_span_stats(rows, 4)
+
+
+def test_duplicate_spans_report(spark):
+    from tilemaker_spark.operators.dedup import duplicate_spans
+
+    got = {r.span: (r.n_docs, r.n_occ)
+           for r in duplicate_spans(_span_docs(spark), k=3).collect()}
+    # only the cross-doc 3-gram appears; within-doc repeats are not
+    # duplicates, single-doc spans are filtered
+    assert got == {"x y z": (2, 2)}

@@ -531,3 +531,80 @@ def dedup_clusters(docs: DataFrame, n: int = 2, threshold: float = 0.5,
         .select("doc_id", "cluster_id", "cluster_size")
     out._internal_persists = getattr(cc, "_internal_persists", [])
     return out
+
+
+# ------------------------------------- exact-substring (span) dedup
+
+def _word_spans(docs: DataFrame, k: int) -> DataFrame:
+    """Every word k-gram occurrence per document (WITH multiplicity,
+    unlike :func:`shingles`): (doc_id, span). The unit of exact-
+    substring dedup a la Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — repeated token spans across
+    documents are memorization fuel that doc-level Jaccard misses."""
+    toks = (docs.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= k))
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(k))
+    return toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(w) - {k - 1}), "
+            f"i -> concat_ws(' ', {parts}))")).alias("span"))
+
+
+def _span_key():
+    """60-bit integer key for a span: first 15 hex digits of md5,
+    parsed base-16. Spark and DuckDB compute the identical value
+    (established by the minhash base hash), so the oracle twin can
+    reproduce it — and the dup-set shuffle moves 8-byte longs instead
+    of multi-word span strings."""
+    return (F.conv(F.substring(F.md5("span"), 1, 15), 16, 10)
+            .cast("long"))
+
+
+def duplicate_spans(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Corpus-level report of word k-gram spans occurring in >= 2
+    distinct documents: (span, n_docs, n_occ), the candidate list an
+    exact-substring dedup pass would cut from the corpus.
+
+    One explode + one map-side-combined groupBy on the span text —
+    linear in corpus token count, shuffle keyed on the span string
+    (the report needs the text; the stats path below shuffles the
+    60-bit key instead)."""
+    sp = _word_spans(docs, k)
+    return (sp.groupBy("span")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occ"))
+            .filter(F.col("n_docs") >= 2))
+
+
+def span_dedup_stats(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document exact-substring duplication stats: (doc_id,
+    n_spans, dup_spans, dup_ratio) where dup_spans counts the doc's
+    k-gram occurrences whose span text appears in >= 2 distinct
+    documents. dup_ratio is the per-doc filtering signal (drop or
+    trim docs above a cap).
+
+    Scale shape: spans table persisted once and consumed by three
+    subtrees (per-doc totals, the dup-key set, the dup-count join);
+    every shuffle after the explode is keyed on the 60-bit span key
+    (8-byte longs). Map-side combine applies to both groupBys; the
+    dup-set join is an equi-join on the key. Linear at 100 TB, no
+    all-pairs anywhere."""
+    from pyspark import StorageLevel
+    sp = (_word_spans(docs, k).select("doc_id", _span_key().alias("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    per_doc = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dup = (sp.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("h"))
+    dup_per_doc = (sp.join(dup, "h")
+                   .groupBy("doc_id")
+                   .agg(F.count("*").alias("dup_spans")))
+    out = (per_doc.join(dup_per_doc, "doc_id", "left")
+           .fillna(0, subset=["dup_spans"])
+           .withColumn("dup_ratio",
+                       F.round(F.col("dup_spans") /
+                               F.col("n_spans"), 6))
+           .select("doc_id", "n_spans", "dup_spans", "dup_ratio"))
+    out._internal_persists = [sp]
+    return out
