@@ -317,6 +317,20 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(_docs(spark, sf_dir), k=SPAN_K)
 
 
+def _q_lm_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM corpus fit (CCNet perplexity-filter shape): train on
+    docs with doc_id % 10 != 0, score the held-out tenth. Only the
+    exact-integer columns are contract-compared (xent/ppl are float
+    groupBy sums — addition order is engine-nondeterministic — and are
+    brute-force-verified in pytest instead)."""
+    from tilemaker_spark.operators.text_analysis import bigram_lm_score
+    d = _docs(spark, sf_dir)
+    return bigram_lm_score(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0)).select(
+        "doc_id", "n_bigrams", "oov_bigrams", "avg_bigram_df", "oov_ratio")
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tilemaker_spark.operators.text_analysis import token_stats
     return token_stats(_docs(spark, sf_dir))
@@ -928,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "span_dedup": _q_span_dedup,
+        "lm_corpus_fit": _q_lm_corpus_fit,
         "token_stats": _q_token_stats,
         "html_extract": _q_html_extract,
         "url_host_stats": _q_url_host_stats,
@@ -1315,6 +1330,25 @@ SELECT p.doc_id, CAST(p.n_spans AS BIGINT) AS n_spans,
        round(coalesce(d.dup_spans, 0) / CAST(p.n_spans AS DOUBLE), 6)
            AS dup_ratio
 FROM per p LEFT JOIN dupc d USING (doc_id)"""
+
+    # bigram-LM corpus fit: exact-integer columns only (see
+    # _q_lm_corpus_fit for why xent/ppl are not hash-pinned)
+    q["lm_corpus_fit"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+big AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+tr AS (SELECT w1, w2, count(*) AS cb FROM big
+       WHERE doc_id % 10 <> 0 GROUP BY 1, 2)
+SELECT s.doc_id, count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN tr.cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_bigrams,
+       round(sum(coalesce(tr.cb, 0)) / CAST(count(*) AS DOUBLE), 6)
+           AS avg_bigram_df,
+       round(sum(CASE WHEN tr.cb IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_ratio
+FROM big s LEFT JOIN tr USING (w1, w2)
+WHERE s.doc_id % 10 = 0
+GROUP BY s.doc_id"""
 
     q["token_stats"] = """
 WITH t AS (SELECT doc_id, length(text) AS n_chars_txt,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "dedup_incremental",
     "span_dedup",
+    "lm_corpus_fit",
 ]
 
 

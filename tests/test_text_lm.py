@@ -1,0 +1,90 @@
+"""Brute-force verification of the bigram-LM corpus-fit scorer.
+
+The integer columns are contract-checked against DuckDB (query
+`lm_corpus_fit`); the float columns (xent, ppl) can't be hash-pinned —
+groupBy float-sum order is engine-nondeterministic — so they are
+verified here against a plain-Python reference within tolerance.
+"""
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+
+def _brute(score_rows, train_rows, alpha=0.5):
+    cb, cw = Counter(), Counter()
+    vocab = set()
+    for _, text in train_rows:
+        w = text.split(" ")
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            cb[(a, b)] += 1
+            cw[a] += 1
+    v = len(vocab)
+    out = {}
+    for doc_id, text in score_rows:
+        w = text.split(" ")
+        bgs = list(zip(w, w[1:]))
+        if not bgs:
+            continue
+        n = len(bgs)
+        oov = sum(1 for g in bgs if cb[g] == 0)
+        sum_df = sum(cb[g] for g in bgs)
+        xent = -sum(
+            math.log2((cb[g] + alpha) / (cw[g[0]] + alpha * v))
+            for g in bgs) / n
+        out[doc_id] = (n, oov, round(sum_df / n, 6), round(oov / n, 6),
+                       xent, 2 ** xent)
+    return out
+
+
+def test_bigram_lm_score_vs_bruteforce(spark):
+    from tilemaker_spark.operators.text_analysis import bigram_lm_score
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [(d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 40))))
+            for d in range(80)]
+    train = [r for r in rows if r[0] % 4 != 0]
+    score = [r for r in rows if r[0] % 4 == 0]
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    res = bigram_lm_score(sdf, tdf)
+    got = {r.doc_id: (r.n_bigrams, r.oov_bigrams, r.avg_bigram_df,
+                      r.oov_ratio, r.xent, r.ppl)
+           for r in res.collect()}
+    for h in getattr(res, "_internal_persists", []):
+        h.unpersist()
+    exp = _brute(score, train)
+    assert set(got) == set(exp)
+    for d, (n, oov, adf, ovr, xent, ppl) in exp.items():
+        gn, goov, gadf, govr, gxent, gppl = got[d]
+        assert (gn, goov) == (n, oov)
+        assert gadf == adf and govr == ovr
+        assert gxent == pytest.approx(xent, abs=2e-4)
+        assert gppl == pytest.approx(ppl, rel=1e-3)
+
+
+def test_bigram_lm_oov_and_short_docs(spark):
+    from tilemaker_spark.operators.text_analysis import bigram_lm_score
+
+    tdf = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string")
+    sdf = spark.createDataFrame(
+        [(10, "a b z"),   # 'a b' seen twice, 'b z' unseen
+         (20, "solo")],   # single token: no bigrams, no row
+        "doc_id long, text string")
+    res = bigram_lm_score(sdf, tdf)
+    got = {r.doc_id: r for r in res.collect()}
+    for h in getattr(res, "_internal_persists", []):
+        h.unpersist()
+    assert set(got) == {10}
+    r = got[10]
+    assert r.n_bigrams == 2 and r.oov_bigrams == 1
+    assert r.avg_bigram_df == 1.0       # (2 + 0) / 2
+    assert r.oov_ratio == 0.5
+    # unseen bigram is smoothed, not -inf
+    assert math.isfinite(r.xent) and r.ppl > 1

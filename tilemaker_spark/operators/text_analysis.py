@@ -124,6 +124,78 @@ def lang_id(docs: DataFrame) -> DataFrame:
                        (F.col("lang") == pred).alias("agree"))
 
 
+# ------------------------------------------- bigram LM corpus fit
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """Token bigram occurrences per document, with multiplicity:
+    (doc_id, w1, w2). Docs under 2 tokens yield nothing (the size
+    guard also keeps Spark's descending sequence(1, 0) corner out)."""
+    toks = (docs.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 2))
+    return (toks.select("doc_id", F.explode(F.expr(
+        "transform(sequence(1, size(w) - 1), i -> struct("
+        "element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .alias("b"))
+        .select("doc_id", "b.w1", "b.w2"))
+
+
+def bigram_lm_score(score_docs: DataFrame, train_docs: DataFrame,
+                    alpha: float = 0.5) -> DataFrame:
+    """Corpus-fit scoring via a bigram LM trained on the corpus — the
+    CCNet perplexity-filter shape (train a small LM, score every doc,
+    drop the tails), self-contained with an add-alpha bigram model.
+
+    TRAIN: bigram counts C(w1,w2) and prefix counts C(w1) are two
+    map-side-combined groupBys over the training bigram stream
+    (persisted once); vocabulary size V is a one-row broadcast.
+    SCORE: each scored doc's bigrams left-join the two count tables
+    (plain equi-joins; the hot-prefix skew on w1 — think "the" — is
+    AQE skew-join territory at 100 TB), then one groupBy folds
+    per-doc totals. Linear end to end, nothing driver-side.
+
+    Returns (doc_id, n_bigrams, oov_bigrams, avg_bigram_df, oov_ratio,
+    xent, ppl):
+
+    - n_bigrams/oov_bigrams and the two ratios are exact integer
+      arithmetic — the oracle-checkable columns;
+    - xent = -mean log2 p(w2|w1), ppl = 2^xent with
+      p = (C(w1,w2)+alpha) / (C(w1)+alpha*V) — float columns verified
+      by brute-force pytest, NOT hash-pinned: a groupBy float sum's
+      addition order is nondeterministic across engines.
+    """
+    from pyspark import StorageLevel
+    tb = _doc_bigrams(train_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cb = tb.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cw = tb.groupBy("w1").agg(F.count("*").alias("cw"))
+    vocab = (train_docs
+             .select(F.explode(F.split("text", " ")).alias("t"))
+             .agg(F.count_distinct("t").alias("v")))
+    sb = _doc_bigrams(score_docs)
+    j = (sb.join(cb, ["w1", "w2"], "left")
+         .join(cw, "w1", "left")
+         .crossJoin(F.broadcast(vocab))
+         .withColumn("cb", F.coalesce("cb", F.lit(0)))
+         .withColumn("cw", F.coalesce("cw", F.lit(0))))
+    p = (F.col("cb") + F.lit(alpha)) / (F.col("cw") + F.lit(alpha) * F.col("v"))
+    j = j.withColumn("lp", F.log(2.0, p))
+    out = (j.groupBy("doc_id")
+           .agg(F.count("*").alias("n_bigrams"),
+                F.sum(F.when(F.col("cb") == 0, 1).otherwise(0))
+                .cast("long").alias("oov_bigrams"),
+                F.sum("cb").alias("sum_bigram_df"),
+                F.sum("lp").alias("sum_lp"))
+           .withColumn("avg_bigram_df",
+                       F.round(F.col("sum_bigram_df") / F.col("n_bigrams"), 6))
+           .withColumn("oov_ratio",
+                       F.round(F.col("oov_bigrams") / F.col("n_bigrams"), 6))
+           .withColumn("xent", -F.col("sum_lp") / F.col("n_bigrams"))
+           .select("doc_id", "n_bigrams", "oov_bigrams", "avg_bigram_df",
+                   "oov_ratio", F.round("xent", 4).alias("xent"),
+                   F.round(F.pow(F.lit(2.0), F.col("xent")), 4).alias("ppl")))
+    out._internal_persists = [tb]
+    return out
+
+
 # --------------------------------------------- html -> text extraction
 
 def extract_text_from_html(pages: DataFrame,
