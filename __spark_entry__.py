@@ -317,6 +317,31 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(_docs(spark, sf_dir), k=SPAN_K)
 
 
+# training-mix sampling: per-language rates + per-language token budget
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25}
+SAMPLE_DEFAULT = 0.1
+TOKEN_BUDGET = 800
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling ("mix 50% en, 25% zh, 10%
+    rest"): md5-keyed threshold filter, no shuffle, reproducible
+    across reruns and cluster sizes."""
+    from tilemaker_spark.operators.sampling import stratified_sample
+    return stratified_sample(_docs(spark, sf_dir), "lang",
+                             SAMPLE_FRACTIONS, SAMPLE_DEFAULT) \
+        .select("doc_id", "lang", "n_chars")
+
+
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill each language up to TOKEN_BUDGET tokens in deterministic
+    hash order (the fixed-size training-mix shape)."""
+    from tilemaker_spark.operators.sampling import token_budget_sample
+    return token_budget_sample(_docs(spark, sf_dir), "lang",
+                               TOKEN_BUDGET) \
+        .select("doc_id", "lang", "n_tokens", "cum_tokens", "take_rank")
+
+
 def _q_lm_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM corpus fit (CCNet perplexity-filter shape): train on
     docs with doc_id % 10 != 0, score the held-out tenth. Only the
@@ -943,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "span_dedup": _q_span_dedup,
         "lm_corpus_fit": _q_lm_corpus_fit,
+        "stratified_sample": _q_stratified_sample,
+        "token_budget_sample": _q_token_budget_sample,
         "token_stats": _q_token_stats,
         "html_extract": _q_html_extract,
         "url_host_stats": _q_url_host_stats,
@@ -1330,6 +1357,33 @@ SELECT p.doc_id, CAST(p.n_spans AS BIGINT) AS n_spans,
        round(coalesce(d.dup_spans, 0) / CAST(p.n_spans AS DOUBLE), 6)
            AS dup_ratio
 FROM per p LEFT JOIN dupc d USING (doc_id)"""
+
+    # deterministic sampling: the identical 60-bit md5 key on both
+    # sides; thresholds are the same Python-computed literals
+    _skey = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+             "AS BIGINT)")
+    _kspace = 1 << 60
+    _thr_case = ("CASE lang " + " ".join(
+        f"WHEN '{g}' THEN {int(f * _kspace)}"
+        for g, f in sorted(SAMPLE_FRACTIONS.items()))
+        + f" ELSE {int(SAMPLE_DEFAULT * _kspace)} END")
+    q["stratified_sample"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_skey} < {_thr_case}"""
+
+    q["token_budget_sample"] = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER w AS take_rank,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY {_skey}, doc_id))
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST(take_rank AS INT) AS take_rank
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET} OR take_rank = 1"""
 
     # bigram-LM corpus fit: exact-integer columns only (see
     # _q_lm_corpus_fit for why xent/ppl are not hash-pinned)

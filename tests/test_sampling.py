@@ -1,0 +1,79 @@
+"""Deterministic-sampling operator tests: reproducibility, stability
+under corpus growth, rate accuracy, and token-budget semantics."""
+
+import random
+
+
+def _docs(spark, n=400, langs=("en", "de", "zh")):
+    rng = random.Random(3)
+    rows = [(d, " ".join(f"w{rng.randint(0, 30)}"
+                         for _ in range(rng.randint(1, 25))),
+             langs[d % len(langs)])
+            for d in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hash_sample_deterministic_and_growth_stable(spark):
+    from tilemaker_spark.operators.sampling import hash_sample
+
+    d = _docs(spark)
+    ids1 = {r.doc_id for r in hash_sample(d, 0.3).select("doc_id").collect()}
+    ids2 = {r.doc_id for r in hash_sample(d, 0.3).select("doc_id").collect()}
+    assert ids1 == ids2  # rerun-identical
+    # adding new docs never flips an old doc's decision
+    grown = _docs(spark, n=800)
+    ids3 = {r.doc_id
+            for r in hash_sample(grown, 0.3).select("doc_id").collect()}
+    assert ids1 == {i for i in ids3 if i < 400}
+    # rate lands near the target (60-bit uniform key, n=400)
+    assert 0.2 < len(ids1) / 400 < 0.4
+
+
+def test_stratified_sample_rates(spark):
+    from tilemaker_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, n=1200)
+    out = stratified_sample(d, "lang", {"en": 1.0, "de": 0.0},
+                            default_fraction=0.5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang.get("en", set())) == 400      # keep all
+    assert "de" not in by_lang                        # drop all
+    assert 100 < len(by_lang.get("zh", set())) < 300  # ~half of 400
+
+
+def test_token_budget_sample_semantics(spark):
+    from tilemaker_spark.operators.sampling import token_budget_sample
+
+    d = _docs(spark)
+    budget = 100
+    out = token_budget_sample(d, "lang", budget).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.take_rank)
+        # ranks are the contiguous prefix 1..m
+        assert [r.take_rank for r in rows] == list(range(1, len(rows) + 1))
+        # cumulative sums are consistent and within budget (except the
+        # guaranteed first doc)
+        cum = 0
+        for r in rows:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+            assert r.cum_tokens <= budget or r.take_rank == 1
+    # determinism: same selection on rerun
+    out2 = token_budget_sample(d, "lang", budget).collect()
+    assert {(r.doc_id, r.take_rank) for r in out} == \
+        {(r.doc_id, r.take_rank) for r in out2}
+
+
+def test_token_budget_first_doc_always_admitted(spark):
+    from tilemaker_spark.operators.sampling import token_budget_sample
+
+    d = spark.createDataFrame(
+        [(1, " ".join(["t"] * 50), "en")],
+        "doc_id long, text string, lang string")
+    out = token_budget_sample(d, "lang", 10).collect()
+    assert len(out) == 1 and out[0].n_tokens == 50
