@@ -309,6 +309,15 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash near-dup pairs — the documented web-scale width:
+    each pigeonhole chunk is 12 bits (4096 block values), so blocks
+    stay selective and the pair stage never goes quadratic (the 16-bit
+    oracle default saturates its 16-value chunks by design)."""
+    from tilemaker_spark.operators.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bits=48)
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup stats (Lee et al. 2021): per doc, the
     count and ratio of word 5-gram occurrences whose span text appears
@@ -966,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_wide": _q_simhash_pairs_wide,
         "span_dedup": _q_span_dedup,
         "lm_corpus_fit": _q_lm_corpus_fit,
         "stratified_sample": _q_stratified_sample,
@@ -1084,16 +1094,16 @@ def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
             f"* pow(sin((radians({lon2}) - radians({lon1})) / 2), 2)))")
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = 16) -> str:
     hexpos = "instr('0123456789abcdef', substring(h, {pos}, 1)) - 1"
     terms = []
-    for j in range(16):
+    for j in range(bits):
         digit = hexpos.format(pos=j // 4 + 1)
         bit = f"(CAST(floor(({digit}) / {2 ** (3 - j % 4)}) AS BIGINT) % 2)"
         terms.append(f"sum(({bit}) * 2 - 1) AS s{j}")
     sums = ", ".join(terms)
     acc = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
     return (
         "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
         "FROM documents), "
@@ -1334,6 +1344,13 @@ FROM lab JOIN siz USING (cluster_id)"""
     # so it checks the recall guarantee, not just the arithmetic
     q["simhash_pairs"] = (
         f"WITH sh AS ({_simhash_sql()}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3")
+
+    q["simhash_pairs_wide"] = (
+        f"WITH sh AS ({_simhash_sql(48)}) "
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "html_extract",
     "pii_scrub",
     "simhash_pairs",
+    "simhash_pairs_wide",
     "dedup_incremental",
     "span_dedup",
     "lm_corpus_fit",

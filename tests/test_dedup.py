@@ -100,6 +100,30 @@ def test_simhash_pairs_end_to_end_text(spark):
     assert (0, 1, bin(sigs[0] ^ sigs[1]).count("1")) in got
 
 
+def test_simhash_bits_vs_python_md5(spark):
+    """conv-word bit extraction == the md5-hex-prefix definition, at a
+    width crossing the 32-bit word boundary (exercises both w0 and w1)."""
+    import hashlib
+    from tilemaker_spark.operators.dedup import simhash_bits
+
+    texts = {0: "the quick brown fox", 1: "jumps over the lazy dog",
+             2: "pack my box with five dozen jugs", 3: "a", 4: "a a b"}
+    bits = 48
+
+    def py_simhash(text):
+        sums = [0] * bits
+        for tok in text.split(" "):
+            v = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for j in range(bits):
+                sums[j] += 1 if (v >> (63 - j)) & 1 else -1
+        return sum(1 << j for j in range(bits) if sums[j] > 0)
+
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_bits(docs, bits).collect()}
+    assert got == {i: py_simhash(t) for i, t in texts.items()}
+
+
 def test_simhash_bits_width_validation(spark):
     from tilemaker_spark.operators.dedup import simhash_bits
     docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")

@@ -372,10 +372,21 @@ def simhash_bits(docs: DataFrame, bits: int = 16,
     toks = docs.select("doc_id",
                        F.explode(F.split(token_col, " ")).alias("tok"))
     toks = toks.withColumn("h", F.md5("tok"))
+    # Decode the md5 hex prefix into two 32-bit words ONCE per token
+    # (conv returns a base-10 string; 8 hex chars always fit a long),
+    # then every bit is a shift+mask in the same codegen stage. This
+    # replaces `bits` instr()-on-substring evaluations per token —
+    # identical bit values (bit j = MSB-first bit j of the hex prefix),
+    # so the instr-based oracle SQL twin is unchanged.
+    toks = toks.withColumn(
+        "w0", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
+    if bits > 32:
+        toks = toks.withColumn(
+            "w1", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
     bit_sums = []
     for j in range(bits):
-        digit = _hex_digit_val(f"substring(h, {j // 4 + 1}, 1)")
-        bit = F.floor(digit / (2 ** (3 - j % 4))) % 2
+        word, off = ("w0", 31 - j) if j < 32 else ("w1", 63 - j)
+        bit = F.shiftrightunsigned(word, off).bitwiseAND(F.lit(1))
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
     acc = F.lit(0)
