@@ -27,6 +27,11 @@ AUDIT = [
     "area_join_concave", "tiles_e2e_bbox", "bpe_token_count",
     "stream_window_counts", "embedding_neardup", "declarative_profile",
     "relations_scalars",
+    # round 4
+    "s2_cells", "html_extract", "pii_scrub", "url_dedup_latest",
+    "simhash_pairs_wide", "dedup_incremental", "span_dedup",
+    "lm_corpus_fit", "stratified_sample", "token_budget_sample",
+    "dedup_clusters",
 ]
 
 
