@@ -485,6 +485,17 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 10 == 0 stand in
+    for the eval set; every other doc reports its distinct shared
+    SPAN_K-gram count against the broadcast benchmark n-gram set."""
+    from tilemaker_spark.operators.webtext import decontaminate
+    d = _docs(spark, sf_dir)
+    return decontaminate(d.filter(F.col("doc_id") % 10 != 0),
+                         d.filter(F.col("doc_id") % 10 == 0),
+                         n=SPAN_K, min_hits=1)
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -986,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "url_dedup_latest": _q_url_dedup_latest,
         "repetition_signals": _q_repetition_signals,
+        "decontaminate": _q_decontaminate,
         "quality_score": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
         "stream_window_counts": _q_stream_window,
@@ -1514,6 +1526,21 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
        round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac,
        round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
 FROM per GROUP BY doc_id"""
+
+    # benchmark decontamination: identical SPAN_K-gram construction on
+    # both sides; %10==0 docs are the stand-in eval set
+    _deco_gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(SPAN_K))
+    q["decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, {_deco_gram} AS g
+       FROM toks, UNNEST(range(1, len(w) - {SPAN_K - 2})) AS t(i)),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+hits AS (SELECT s.doc_id, count(*) AS c FROM sh s JOIN bench USING (g)
+         WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(h.c, 0) AS BIGINT) AS ngram_hits,
+       coalesce(h.c, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 10 <> 0"""
 
     stop_list = ", ".join(f"'{s}'" for s in
                           ["the", "a", "of", "and", "to", "in"])

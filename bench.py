@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "simhash_pairs_wide",
     "dedup_incremental",
     "span_dedup",
+    "decontaminate",
     "lm_corpus_fit",
 ]
 

@@ -64,3 +64,42 @@ def test_repetition_signals_closed_form(spark):
     assert (out[2]["n_bigrams"], out[2]["n_uniq_bigrams"],
             out[2]["top_count"]) == (2, 2, 1)
     assert out[2]["dup_frac"] == 0.0
+
+
+def test_decontaminate_planted(spark):
+    """A corpus doc embedding a benchmark 4-gram is flagged; clean and
+    sub-n docs report zero hits but stay in the output spine."""
+    from tilemaker_spark.operators.webtext import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris"),
+         (101, "unrelated eval question here")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "some page asking what is the capital of france today"),
+         (1, "a perfectly clean training document about cooking"),
+         (2, "too short")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           decontaminate(docs, bench, n=4, min_hits=1).collect()}
+    assert set(out) == {0, 1, 2}
+    # doc 0 shares the 4-grams sliding through "what is the capital of
+    # france": windows fully inside the shared 6-token run = 3
+    assert out[0].ngram_hits == 3 and out[0].contaminated
+    assert out[1].ngram_hits == 0 and not out[1].contaminated
+    assert out[2].ngram_hits == 0 and not out[2].contaminated
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from tilemaker_spark.operators.webtext import decontaminate
+
+    bench = spark.createDataFrame([(10, "alpha beta gamma delta")],
+                                  "doc_id long, text string")
+    docs = spark.createDataFrame([(0, "alpha beta gamma delta epsilon")],
+                                 "doc_id long, text string")
+    # doc 0's windows are [alpha beta gamma delta] and [beta gamma
+    # delta epsilon]; only the first is in the benchmark -> 1 hit
+    one = decontaminate(docs, bench, n=4, min_hits=1).collect()[0]
+    two = decontaminate(docs, bench, n=4, min_hits=2).collect()[0]
+    assert one.ngram_hits == 1 and one.contaminated
+    assert two.ngram_hits == 1 and not two.contaminated

@@ -116,3 +116,38 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 .alias("top_frac"),
                 F.round(1.0 - F.col("n_uniq_bigrams") / F.col("n_bigrams"), 6)
                 .alias("dup_frac")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 8, min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    ``min_hits`` distinct word ``n``-grams with an eval/benchmark set
+    (the GPT-3-appendix / Gopher 8-13-gram overlap rule — the step that
+    keeps test questions out of the training mix).
+
+    Scale shape: the benchmark n-gram set is tiny next to the corpus
+    (eval suites are MBs, the corpus is TBs), so its DISTINCT n-grams
+    are BROADCAST; the corpus side is one shingle explode + broadcast
+    inner join + one partial-agg groupBy(doc_id) — the corpus text is
+    never shuffled and the scan stays pruned to (doc_id, text). Docs
+    with zero hits are recovered with a left join against the doc-id
+    spine so the output is total over ``docs``.
+
+    Returns (doc_id, ngram_hits, contaminated) where ngram_hits counts
+    DISTINCT overlapping n-grams per document.
+    """
+    from tilemaker_spark.operators.dedup import shingles
+
+    bench_grams = (shingles(benchmark, n)
+                   .select("shingle").dropDuplicates())
+    hits = (shingles(docs, n)
+            .join(F.broadcast(bench_grams), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("ngram_hits")))
+    return (docs.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("ngram_hits", F.lit(0)).cast("long")
+                    .alias("ngram_hits"))
+            .withColumn("contaminated",
+                        (F.col("ngram_hits") >= min_hits).cast("boolean")))
