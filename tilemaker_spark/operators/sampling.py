@@ -62,23 +62,74 @@ def token_budget_sample(docs: DataFrame, group_col: str,
     alone exceeds the budget (a budget that admits nothing is a
     configuration error, not a sample).
 
-    One window per group (sort by key within the group's partition);
-    the per-group state is a running sum, not a collect — groups
-    stream through executors. A group hot enough to dominate a
-    partition at 100 TB is the same skew story as any windowed
-    operator: pre-filter with hash_sample to an upper bound first,
-    then budget-fill the survivors.
+    Scale shape: a naive `Window.partitionBy(group)` running sum puts
+    an entire group (a LANGUAGE, at corpus scale) in one partition —
+    the classic windowed-operator straggler. Instead the running sum is
+    computed in two levels keyed by the top 12 bits of the hash key
+    (4096 buckets, an order-preserving prefix of the sort key):
+
+    1. a per-(group, bucket) token/count histogram — one map-side
+       combinable groupBy, ~4096 rows per group;
+    2. a per-group running sum OVER BUCKETS (window of <= 4096 rows),
+       broadcast-joined back;
+    3. per-(group, bucket) doc windows — each at most 1/4096th of the
+       group — offset by the bucket's exclusive prefix totals.
+
+    Global rank and running total are reconstructed exactly, so the
+    output is identical to the single-window formulation (the DuckDB
+    oracle twin IS that formulation). Costs one extra pass over
+    (group, key, n_tokens) for the histogram; at web scale you would
+    materialize a token-count column so that pass never touches text.
 
     Returns the surviving docs plus (n_tokens, cum_tokens, take_rank).
     """
-    n_tokens = F.size(F.split("text", " "))
-    w = (Window.partitionBy(group_col)
-         .orderBy(_hash_key(key_col), F.col(key_col)))
-    ranked = (docs
-              .withColumn("n_tokens", n_tokens.cast("long"))
-              .withColumn("take_rank", F.row_number().over(w))
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    key = _hash_key(key_col)
+    bucket = F.shiftrightunsigned(key, 48)
+
+    base = (docs
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("_key", key)
+            .withColumn("_bucket", bucket))
+
+    hist = (base.groupBy(F.col(group_col).alias("_g"), "_bucket")
+            .agg(F.sum("n_tokens").alias("_btok"),
+                 F.count("*").alias("_bcnt")))
+    wb = Window.partitionBy("_g").orderBy("_bucket")
+    prefix = (hist
+              .withColumn("_tok_excl",
+                          F.coalesce(
+                              F.sum("_btok").over(
+                                  wb.rowsBetween(Window.unboundedPreceding,
+                                                 -1)), F.lit(0)))
+              .withColumn("_cnt_excl",
+                          F.coalesce(
+                              F.sum("_bcnt").over(
+                                  wb.rowsBetween(Window.unboundedPreceding,
+                                                 -1)), F.lit(0)))
+              # buckets whose whole prefix already exceeds the budget
+              # can admit nothing (rank-1 lives in the first bucket) —
+              # prune them before the doc-level window
+              .filter((F.col("_tok_excl") <= budget_tokens) |
+                      (F.col("_cnt_excl") == 0))
+              .select("_g", F.col("_bucket").alias("_pb"),
+                      "_tok_excl", "_cnt_excl"))
+
+    wd = (Window.partitionBy(group_col, "_bucket")
+          .orderBy("_key", F.col(key_col)))
+    ranked = (base.join(
+                  F.broadcast(prefix),
+                  (F.col(group_col) == F.col("_g")) &
+                  (F.col("_bucket") == F.col("_pb")))
+              .withColumn("take_rank",
+                          (F.col("_cnt_excl") +
+                           F.row_number().over(wd)).cast("int"))
               .withColumn("cum_tokens",
+                          F.col("_tok_excl") +
                           F.sum("n_tokens").over(
-                              w.rowsBetween(Window.unboundedPreceding, 0))))
-    return ranked.filter((F.col("cum_tokens") <= budget_tokens) |
-                         (F.col("take_rank") == 1))
+                              wd.rowsBetween(Window.unboundedPreceding, 0))))
+    return (ranked
+            .filter((F.col("cum_tokens") <= budget_tokens) |
+                    (F.col("take_rank") == 1))
+            .drop("_g", "_pb", "_key", "_bucket", "_tok_excl",
+                  "_cnt_excl"))
