@@ -1487,18 +1487,21 @@ WITH p AS (
          || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
   FROM documents),
 s AS (SELECT doc_id, t,
-             regexp_replace(regexp_replace(regexp_replace(t,
-               '{EMAIL_RE}', '<EMAIL>', 'g'),
-               '{IPV4_RE}', '<IP>', 'g'),
-               '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
-      FROM p)
+             regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS ae
+      FROM p),
+s2 AS (SELECT doc_id, t, ae,
+              regexp_replace(ae, '{IPV4_RE}', '<IP>', 'g') AS ai
+       FROM s),
+s3 AS (SELECT doc_id, t, ae, ai,
+              regexp_replace(ai, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+       FROM s2)
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(ae, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(ai, '{PHONE_RE}')) AS BIGINT) AS n_phones,
        md5(scrubbed) AS scrub_md5,
        CAST(length(scrubbed) AS BIGINT) AS n_chars
-FROM s"""
+FROM s3"""
 
     q["url_dedup_latest"] = f"""
 WITH pages AS (

@@ -277,3 +277,62 @@ def test_stage2_mode_mismatch_forces_recompute(spark, tmp_path_factory):
     pipe4, hier2 = run(wd, hier=True)
     assert "resumed" not in pipe4.metrics["stages"]["feature_tiles"]
     assert hier2 == hier_out
+
+
+def test_stage2_mode_flip_crash_leaves_no_stale_tiles(spark,
+                                                      tmp_path_factory):
+    """Crash-safety ordering of the mode guard: a mode-flip run that
+    dies BEFORE rebuilding the checkpoints must not bequeath a workdir
+    whose fingerprint matches the new mode while 'tiles' still holds
+    the other mode's bytes (the next run would silently resume them).
+    The guard deletes the stale stage dirs before touching the
+    fingerprint, so either the crash re-detects the mismatch or the
+    stale dirs are already gone."""
+    import os
+
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.fixtures import make_nodes_ways, make_pages
+    from tilemaker_spark.plans.pipeline import TilePipeline
+
+    pages = make_pages(spark, 200)
+    nodes, ways = make_nodes_ways(spark)
+
+    def mk(hier):
+        cfg = default_config()
+        cfg.basezoom = 10
+        cfg.hierarchical_clip = hier
+        return cfg
+
+    wd = str(tmp_path_factory.mktemp("mode_crash"))
+    pipe = TilePipeline(spark, mk(False), workdir=wd)
+    flat_tiles = pipe.run(pages, nodes=nodes, ways=ways, force=True)
+    flat_out = {(r.z, r.x, r.y): r.n_features for r in flat_tiles.collect()}
+    assert os.path.exists(os.path.join(wd, "tiles"))
+
+    # flip to hier, but crash on the FIRST checkpoint write (after the
+    # guard has run, before any stage dir is rebuilt)
+    crash_pipe = TilePipeline(spark, mk(True), workdir=wd)
+    orig = TilePipeline._checkpoint
+
+    def boom(self, df, name, force=False):
+        if name in ("feature_tiles", "feature_tiles_geom", "tiles"):
+            raise RuntimeError("simulated mid-run crash")
+        return orig(self, df, name, force=force)
+
+    TilePipeline._checkpoint = boom
+    try:
+        import pytest
+        with pytest.raises(RuntimeError, match="simulated"):
+            crash_pipe.run(pages, nodes=nodes, ways=ways)
+    finally:
+        TilePipeline._checkpoint = orig
+
+    # the stale flat 'tiles' checkpoint must be gone
+    assert not os.path.exists(os.path.join(wd, "tiles"))
+
+    # the next hier run recomputes and matches a clean hier run
+    pipe2 = TilePipeline(spark, mk(True), workdir=wd)
+    t2 = pipe2.run(pages, nodes=nodes, ways=ways)
+    assert pipe2.metrics["stages"]["tiles"].get("resumed") is not True
+    out2 = {(r.z, r.x, r.y): r.n_features for r in t2.collect()}
+    assert out2 == flat_out  # hier and flat agree on counts

@@ -231,3 +231,14 @@ def test_pmtiles_leaf_directories(spark, tmp_path):
     a = {(r.z, r.x, r.y): bytes(r.tile) for r in df.collect()}
     b = {(r.z, r.x, r.y): bytes(r.tile) for r in back.collect()}
     assert a == b
+
+
+def test_pmtiles_byte_stable_across_runs(spark, tiles_df, tmp_path):
+    """Two writes of the same tileset produce byte-identical archives:
+    every gzip member (root/leaf directories, metadata) pins mtime=0,
+    matching the repo-wide byte-stable-tiles rule."""
+    p1, p2 = str(tmp_path / "a.pmtiles"), str(tmp_path / "b.pmtiles")
+    sinks.write_pmtiles(tiles_df, p1, {"name": "t"})
+    sinks.write_pmtiles(tiles_df, p2, {"name": "t"})
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()

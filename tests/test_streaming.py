@@ -264,3 +264,26 @@ def test_stateful_late_events_merge_against_state():
     out = _run_fn(60, st, [1100, 1350, 2000])
     assert out == [(7, 1000, 1350, 5)]
     assert st.get == (2000, 2000, 1)
+
+
+def test_stateful_late_chain_reaches_open_session():
+    """Chained late events each within gap of the NEXT must walk back
+    into the open session together (ascending one-at-a-time processing
+    broke the chain at the oldest event)."""
+    st = _FakeState((1000, 1300, 3), wm_ms=0)
+    assert _run_fn(60, st, [930, 965]) == []
+    assert st.get == (930, 1300, 5)
+
+
+def test_stateful_too_old_events_merge_among_themselves():
+    """Late events beyond the open session's reach form their own
+    gaps-and-islands sessions, not one singleton each."""
+    st = _FakeState((100, 130, 2), wm_ms=0)
+    assert _run_fn(5, st, [80, 82]) == [(7, 80, 82, 2)]
+    assert st.get == (100, 130, 2)
+
+    # two separate too-old islands plus a chain into the session
+    st = _FakeState((1000, 1300, 3), wm_ms=0)
+    out = _run_fn(60, st, [100, 120, 300, 950])
+    assert out == [(7, 100, 120, 2), (7, 300, 300, 1)]
+    assert st.get == (950, 1300, 4)

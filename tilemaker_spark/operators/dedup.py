@@ -562,14 +562,22 @@ def _word_spans(docs: DataFrame, k: int) -> DataFrame:
             f"i -> concat_ws(' ', {parts}))")).alias("span"))
 
 
-def _span_key():
-    """60-bit integer key for a span: first 15 hex digits of md5,
-    parsed base-16. Spark and DuckDB compute the identical value
-    (established by the minhash base hash), so the oracle twin can
-    reproduce it — and the dup-set shuffle moves 8-byte longs instead
-    of multi-word span strings."""
-    return (F.conv(F.substring(F.md5("span"), 1, 15), 16, 10)
+def hash_key60(col) -> F.Column:
+    """Engine-portable 60-bit uniform key: first 15 hex digits of
+    md5(col as string), parsed base-16. THE shared key recipe — span
+    dedup shuffles it instead of span strings, and the sampling
+    operators compare it against rate thresholds; DuckDB computes the
+    identical value, so every oracle twin reproduces each decision
+    bit-for-bit. One definition on purpose: the hand-written SQL twins
+    must stay bit-identical with this expression."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
             .cast("long"))
+
+
+def _span_key():
+    """60-bit key of the span column (see :func:`hash_key60`)."""
+    return hash_key60("span")
 
 
 def duplicate_spans(docs: DataFrame, k: int = 5) -> DataFrame:

@@ -20,11 +20,11 @@ _KEY_SPACE = 1 << 60
 
 
 def _hash_key(col: str = "doc_id") -> F.Column:
-    """Deterministic 60-bit sampling key: first 15 hex digits of
-    md5(doc_id as string), parsed base-16. Uniform, reproducible,
-    engine-portable (DuckDB computes the identical value)."""
-    return (F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
-                   16, 10).cast("long"))
+    """Deterministic 60-bit sampling key — the shared
+    :func:`tilemaker_spark.operators.dedup.hash_key60` recipe, so one
+    definition backs every hand-written DuckDB twin."""
+    from tilemaker_spark.operators.dedup import hash_key60
+    return hash_key60(col)
 
 
 def hash_sample(docs: DataFrame, fraction: float,

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
-HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 
 
 def url_host_stats(pages: DataFrame) -> DataFrame:
@@ -57,17 +57,23 @@ def pii_scrub(pages: DataFrame, text_col: str = "text") -> DataFrame:
     short phone numbers). Returns per-page counts plus the scrubbed
     text; replacement order (email -> ip -> phone) is part of the
     contract so reruns and the oracle agree byte-for-byte."""
+    # Each class is counted on the text AFTER the earlier classes were
+    # redacted, so n_* always equals the number of that class's
+    # replacement tokens in text_scrubbed (counting every class on the
+    # original text over-reports when classes overlap — a phone-shaped
+    # local part inside an email is consumed by <EMAIL> and must not
+    # also count as a phone).
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
-            IPV4_RE, "<IP>"),
-        PHONE_RE, "<PHONE>")
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
     return pages.select(
         "doc_id",
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
-        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long")
+        .alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).cast("long")
+        .alias("n_phones"),
         scrubbed.alias("text_scrubbed"),
     )
 
@@ -92,17 +98,17 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style duplicate-n-gram quality signals per document:
     bigram totals, distinct count, most-frequent-bigram count, and the
     two standard ratios (top-bigram fraction, duplicate-bigram
-    fraction). Bigrams are built JVM-side with zip_with over adjacent
-    token-array slices, then exploded into two partial-agg groupBys —
-    the same plan shape at 100 TB, keyed by (doc_id, bigram)."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, F.lit(1), n - 1),
-        F.slice(toks, F.lit(2), n - 1),
-        lambda a, b: F.concat_ws(" ", a, b))
-    per_bigram = (docs
-                  .select("doc_id", F.explode(bigrams).alias("bigram"))
+    fraction). Bigram construction is the shared with-multiplicity
+    k-gram builder (``dedup._word_spans`` with k=2 — ONE tokenization
+    definition for every oracle twin), exploded into two partial-agg
+    groupBys — the same plan shape at 100 TB, keyed by
+    (doc_id, bigram)."""
+    from tilemaker_spark.operators.dedup import _word_spans
+
+    per_bigram = (_word_spans(
+                      docs.select("doc_id",
+                                  F.col(text_col).alias("text")), 2)
+                  .withColumnRenamed("span", "bigram")
                   .groupBy("doc_id", "bigram")
                   .agg(F.count("*").alias("c")))
     return (per_bigram

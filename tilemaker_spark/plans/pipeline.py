@@ -186,6 +186,19 @@ class TilePipeline:
             prev_mode = "hier_split"
         force_stage2 = force or (
             prev_mode is not None and prev_mode != stage2_mode)
+        if prev_mode is not None and prev_mode != stage2_mode:
+            # Crash-safety ordering: drop the other-mode checkpoints
+            # BEFORE updating the fingerprint. If this run dies mid-way
+            # the workdir is in one of two safe states — fingerprint
+            # still old (next run re-detects the mismatch and
+            # re-deletes) or fingerprint new with the stale dirs gone
+            # (next run recomputes). Writing the fingerprint first
+            # left a window where a crash bequeathed a same-mode
+            # fingerprint pointing at other-mode 'tiles' bytes.
+            import shutil
+            for stale in ("feature_tiles", "feature_tiles_geom", "tiles"):
+                shutil.rmtree(os.path.join(self.workdir, stale),
+                              ignore_errors=True)
         with open(mode_path, "w") as f:
             json.dump({"mode": stage2_mode}, f)
         if cfg.hierarchical_clip and has_geom_sources:

@@ -294,7 +294,7 @@ def _pm_build_directories(entries):
     serialized+compressed root exceeds the 16 KiB initial-fetch budget.
     Leaf-pointer entries use run_length == 0 with offset relative to
     the leaf section (PMTiles v3 spec §4)."""
-    root = gzip.compress(_pm_serialize_dir(entries))
+    root = gzip.compress(_pm_serialize_dir(entries), mtime=0)
     if len(root) <= _PM_MAX_ROOT_BYTES:
         return root, b""
     leaf_size = 4096
@@ -303,10 +303,10 @@ def _pm_build_directories(entries):
         leaf_blob = bytearray()
         for i in range(0, len(entries), leaf_size):
             chunk = entries[i:i + leaf_size]
-            ser = gzip.compress(_pm_serialize_dir(chunk))
+            ser = gzip.compress(_pm_serialize_dir(chunk), mtime=0)
             root_entries.append((chunk[0][0], len(leaf_blob), len(ser), 0))
             leaf_blob += ser
-        root = gzip.compress(_pm_serialize_dir(root_entries))
+        root = gzip.compress(_pm_serialize_dir(root_entries), mtime=0)
         if len(root) <= _PM_MAX_ROOT_BYTES or leaf_size > len(entries):
             return root, bytes(leaf_blob)
         leaf_size *= 2
@@ -362,7 +362,8 @@ def write_pmtiles(tiles: DataFrame, path: str,
                 else:
                     entries.append((row.tileid, off, ln, 1))
         root, leaves = _pm_build_directories(entries)
-        meta = gzip.compress(json.dumps(metadata or {}).encode())
+        meta = gzip.compress(json.dumps(metadata or {}).encode(),
+                            mtime=0)
         root_off = 127
         meta_off = root_off + len(root)
         leaf_off = meta_off + len(meta)

@@ -63,6 +63,38 @@ def _make_fn(gap_s: int):
             start = last = None
             n = 0
         out = []
+        if last is not None:
+            # Late-but-admitted events older than the open session's
+            # start: merge NEWEST-FIRST so a chain of late events
+            # ([..., 930, 965] against start=1000, gap=60) walks back
+            # into the open session together — ascending one-at-a-time
+            # processing would break the chain at the oldest event and
+            # emit sessions the batch oracle doesn't have.
+            old = [t for t in ts if t < start]
+            ts = [t for t in ts if t >= start]
+            too_old = []
+            for t in reversed(old):
+                if start - t <= gap_s:
+                    start = t
+                    n += 1
+                else:
+                    too_old.append(t)
+            # events that cannot reach the open session belong to
+            # sessions already closed; gaps-and-islands them among
+            # THEMSELVES (the batch semantics for that span) instead
+            # of emitting one singleton each
+            too_old.reverse()
+            s0 = e0 = c0 = None
+            for t in too_old:
+                if s0 is None:
+                    s0, e0, c0 = t, t, 1
+                elif t - e0 > gap_s:
+                    out.append((uid, s0, e0, c0))
+                    s0, e0, c0 = t, t, 1
+                else:
+                    e0, c0 = t, c0 + 1
+            if s0 is not None:
+                out.append((uid, s0, e0, c0))
         for t in ts:
             if last is None:
                 start = last = t
@@ -74,18 +106,8 @@ def _make_fn(gap_s: int):
                 else:
                     last = t
                     n += 1
-            # late-but-admitted event (t <= last): merge against state
-            # instead of appending after `last` — `last` stays monotone
-            # so session_end cannot diverge from the batch oracle
-            elif t >= start:
-                n += 1  # falls inside the open session's span
-            elif start - t <= gap_s:
-                start = t  # extends the open session backwards
-                n += 1
             else:
-                # too old to merge with the open session; its own
-                # session was already closed — emit as a singleton
-                out.append((uid, t, t, 1))
+                n += 1  # falls inside the open session's [start, last]
         state.update((start, last, n))
         # evict when the event-time watermark passes last + gap. Spark
         # rejects a timeout at-or-before the current watermark (e.g. a
