@@ -287,3 +287,71 @@ def test_stateful_too_old_events_merge_among_themselves():
     out = _run_fn(60, st, [100, 120, 300, 950])
     assert out == [(7, 100, 120, 2), (7, 300, 300, 1)]
     assert st.get == (950, 1300, 4)
+
+
+def _write_docs(spark, docs_dir, rows, name):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    stage = f"{docs_dir}/_stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.move(f"{stage}/{src}", f"{docs_dir}/{name}.parquet")
+    shutil.rmtree(stage)
+
+
+def test_streaming_dedup_matches_batch_replay(spark, tmp_path):
+    """Continuous-ingestion dedup: two drained micro-batches produce
+    exactly the pairs a manual batch replay of incremental_lsh_pairs
+    produces, and a restart with no new files adds nothing."""
+    from tilemaker_spark.operators.dedup import incremental_lsh_pairs
+    from tilemaker_spark.streaming.dedup import (read_dedup_pairs,
+                                                 start_streaming_dedup)
+
+    base = " ".join(f"t{i} t{i}x" for i in range(40))
+    other = " ".join(f"q{i} q{i}y" for i in range(40))
+    batch_a = [(1, base, "en"), (2, base + " alpha", "en"),
+               (3, other, "en"),
+               (4, " ".join(f"z{i} z{i}w" for i in range(40)), "en")]
+    batch_b = [(100, base + " beta", "en"),
+               (101, other + " gamma", "en"),
+               (102, other + " gamma delta", "en"),
+               (103, " ".join(f"n{i} n{i}v" for i in range(40)), "en")]
+
+    docs_dir = str(tmp_path / "docs_in")
+    workdir = str(tmp_path / "dedup_state")
+    os.makedirs(docs_dir)
+
+    _write_docs(spark, docs_dir, batch_a, "a")
+    q = start_streaming_dedup(spark, docs_dir, workdir, threshold=0.5)
+    q.awaitTermination(120)
+    _write_docs(spark, docs_dir, batch_b, "b")
+    q = start_streaming_dedup(spark, docs_dir, workdir, threshold=0.5)
+    q.awaitTermination(120)
+
+    got = {(r.new_id, r.dup_id) for r in
+           read_dedup_pairs(spark, workdir).collect()}
+
+    # batch replay: A against nothing, then B against A
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string")
+
+    empty = docs([])
+    want = set()
+    for new, corpus in ((batch_a, []), (batch_b, batch_a)):
+        out = incremental_lsh_pairs(docs(new), corpus and docs(corpus)
+                                    or empty, threshold=0.5)
+        want |= {(r.new_id, r.dup_id) for r in out.collect()}
+        for h in getattr(out, "_internal_persists", []):
+            h.unpersist()
+
+    assert got == want
+    assert (2, 1) in got            # within-batch-A pair
+    assert (100, 1) in got and (101, 3) in got  # cross-batch pairs
+    assert (102, 101) in got        # within-batch-B, earlier-new wins
+
+    # exactly-once: restart with no pending files adds nothing
+    q = start_streaming_dedup(spark, docs_dir, workdir, threshold=0.5)
+    q.awaitTermination(120)
+    again = {(r.new_id, r.dup_id) for r in
+             read_dedup_pairs(spark, workdir).collect()}
+    assert again == got

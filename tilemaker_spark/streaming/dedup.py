@@ -1,0 +1,124 @@
+"""Continuous-ingestion near-duplicate detection via Structured
+Streaming — the production shape of cross-snapshot dedup: a file
+source watches for new document parquet, and each micro-batch is
+deduped against the ACCUMULATED corpus through the stored LSH band
+index (:func:`tilemaker_spark.operators.dedup.incremental_lsh_pairs`),
+so per-batch cost is O(batch + band collisions), independent of corpus
+size — the corpus is never re-shingled.
+
+State model (the streaming.incremental snapshot pattern): each batch
+writes three idempotent per-batch parquet dirs —
+
+* ``{workdir}/bands/batch_{id}``  — the batch's band-index delta,
+* ``{workdir}/docs/batch_{id}``   — the batch's docs (verify text),
+* ``{workdir}/pairs/batch_{id}``  — verified (new_id, dup_id, jaccard),
+
+then appends the batch id to ``{workdir}/COMMITTED`` atomically
+(write-tmp + rename). A crash mid-batch replays the SAME deterministic
+writes (overwrite mode) before the pointer moves, and readers union
+only committed batch dirs — exactly-once end to end on top of the
+stream's checkpointLocation.
+
+At cluster scale the band dirs are parquet partitioned by (band_id) so
+a new batch's band join prunes to colliding partitions; the doc store
+is only ever read through a candidate semi-join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCS_SCHEMA = "doc_id long, text string, lang string"
+_BANDS_SCHEMA = "doc_id long, band_id int, band_hash long"
+
+
+def _committed(workdir: str) -> list[int]:
+    ptr = os.path.join(workdir, "COMMITTED")
+    if not os.path.exists(ptr):
+        return []
+    with open(ptr) as f:
+        return json.load(f)["batches"]
+
+
+def _commit(workdir: str, batch_id: int) -> None:
+    ids = _committed(workdir)
+    if batch_id not in ids:
+        ids.append(batch_id)
+    ptr = os.path.join(workdir, "COMMITTED")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batches": sorted(ids)}, f)
+    os.replace(tmp, ptr)
+
+
+def _union_committed(spark: SparkSession, workdir: str, sub: str,
+                     schema: str) -> DataFrame:
+    paths = [os.path.join(workdir, sub, f"batch_{i}")
+             for i in _committed(workdir)]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def read_dedup_pairs(spark: SparkSession, workdir: str) -> DataFrame:
+    """All verified near-dup pairs committed so far:
+    (new_id, dup_id, jaccard)."""
+    return _union_committed(spark, workdir, "pairs",
+                            "new_id long, dup_id long, jaccard double")
+
+
+def start_streaming_dedup(spark: SparkSession, docs_dir: str, workdir: str,
+                          n: int = 2, k: int = 16, rows_per_band: int = 2,
+                          threshold: float = 0.35,
+                          max_files_per_trigger: int = 1,
+                          available_now: bool = True):
+    """Start the continuous dedup stream over a docs parquet directory.
+
+    available_now=True drains pending files then stops (the testable
+    trigger); False runs per micro-batch indefinitely. Returns the
+    StreamingQuery."""
+    from tilemaker_spark.operators.dedup import (incremental_lsh_pairs,
+                                                 minhash_band_table)
+
+    os.makedirs(workdir, exist_ok=True)
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(docs_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        batch_docs = batch_df.select("doc_id", "text")
+        if batch_docs.isEmpty():
+            return
+        corpus_docs = _union_committed(
+            spark, workdir, "docs", "doc_id long, text string")
+        corpus_bands = _union_committed(
+            spark, workdir, "bands", _BANDS_SCHEMA)
+        pairs = incremental_lsh_pairs(
+            batch_docs, corpus_docs, n=n, k=k,
+            rows_per_band=rows_per_band, threshold=threshold,
+            corpus_bands=corpus_bands)
+        try:
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(workdir, "pairs", f"batch_{batch_id}"))
+        finally:
+            for h in getattr(pairs, "_internal_persists", []):
+                h.unpersist()
+        minhash_band_table(batch_docs, n=n, k=k,
+                           rows_per_band=rows_per_band) \
+            .write.mode("overwrite").parquet(
+                os.path.join(workdir, "bands", f"batch_{batch_id}"))
+        batch_docs.write.mode("overwrite").parquet(
+            os.path.join(workdir, "docs", f"batch_{batch_id}"))
+        _commit(workdir, batch_id)
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(workdir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
