@@ -77,3 +77,36 @@ def test_token_budget_first_doc_always_admitted(spark):
         "doc_id long, text string, lang string")
     out = token_budget_sample(d, "lang", 10).collect()
     assert len(out) == 1 and out[0].n_tokens == 50
+
+
+def test_token_budget_matches_naive_reference(spark):
+    """The bucketed two-level running sum (no per-group straggler
+    window) must reconstruct the single-sequence semantics exactly:
+    rank, inclusive running total, and the admitted set all match a
+    plain Python replay in hash order, across random budgets."""
+    import hashlib
+
+    from tilemaker_spark.operators.sampling import token_budget_sample
+
+    d = _docs(spark, n=300)
+    rows = [(r.doc_id, r.lang, len(r.text.split(" ")))
+            for r in d.collect()]
+
+    def key(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    for budget in (1, 37, 200, 1500, 10**9):
+        got = {(r.doc_id): (r.take_rank, r.cum_tokens)
+               for r in token_budget_sample(d, "lang", budget).collect()}
+        want = {}
+        by_lang = {}
+        for doc_id, lang, nt in rows:
+            by_lang.setdefault(lang, []).append((key(doc_id), doc_id, nt))
+        for lang, items in by_lang.items():
+            items.sort()
+            cum = 0
+            for rank, (_, doc_id, nt) in enumerate(items, start=1):
+                cum += nt
+                if cum <= budget or rank == 1:
+                    want[doc_id] = (rank, cum)
+        assert got == want, f"budget={budget}"
