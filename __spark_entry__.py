@@ -485,6 +485,19 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf_dir))
 
 
+def _q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup decontamination (LSH-candidated exact Jaccard into the
+    benchmark set): same %10 split as `decontaminate`, catching the
+    paraphrased leakage the exact n-gram rule misses."""
+    from tilemaker_spark.operators.webtext import decontaminate_fuzzy
+    d = _docs(spark, sf_dir)
+    out = decontaminate_fuzzy(d.filter(F.col("doc_id") % 10 != 0),
+                              d.filter(F.col("doc_id") % 10 == 0),
+                              n=NGRAM_N, k=16, rows_per_band=2,
+                              threshold=LSH_THRESHOLD)
+    return out
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 10 == 0 stand in
     for the eval set; every other doc reports its distinct shared
@@ -998,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_latest": _q_url_dedup_latest,
         "repetition_signals": _q_repetition_signals,
         "decontaminate": _q_decontaminate,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "quality_score": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
         "stream_window_counts": _q_stream_window,
@@ -1330,6 +1344,37 @@ JOIN sizes sa ON sa.doc_id = i.new_id
 JOIN sizes sb ON sb.doc_id = i.dup_id
 WHERE round(i.i / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE), 6)
       >= {LSH_THRESHOLD}"""
+
+    # fuzzy decontamination twin: the cross-set half of the
+    # dedup_incremental plan (training docs x benchmark band index),
+    # aggregated per training doc
+    q["decontaminate_fuzzy"] = f"""
+WITH {_shingle_cte()}, {base_cte},
+sig AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id),
+banded AS ({band_selects}),
+tb AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
+bb AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_id
+  FROM tb a JOIN bb b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT c.new_id, c.dup_id, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.new_id
+          JOIN sh y ON y.doc_id = c.dup_id AND y.shingle = x.shingle
+          GROUP BY c.new_id, c.dup_id),
+jac AS (
+  SELECT i.new_id, i.dup_id,
+         round(i.i / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.new_id
+  JOIN sizes sb ON sb.doc_id = i.dup_id
+  WHERE round(i.i / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE), 6)
+        >= {LSH_THRESHOLD})
+SELECT new_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       max(jaccard) AS max_jaccard, TRUE AS contaminated
+FROM jac GROUP BY new_id"""
 
     # dedup clustering twin: same pair list, components via a RECURSIVE
     # CTE (label = min node id reachable) — independent of the Spark

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "span_dedup",
     "decontaminate",
+    "decontaminate_fuzzy",
     "lm_corpus_fit",
 ]
 

@@ -103,3 +103,28 @@ def test_decontaminate_min_hits_threshold(spark):
     two = decontaminate(docs, bench, n=4, min_hits=2).collect()[0]
     assert one.ngram_hits == 1 and one.contaminated
     assert two.ngram_hits == 1 and not two.contaminated
+
+
+def test_decontaminate_fuzzy_planted(spark):
+    """A lightly-edited copy of a benchmark doc is flagged with high
+    jaccard; unrelated docs are not; docs near-dupping EACH OTHER but
+    not the benchmark are not flagged."""
+    from tilemaker_spark.operators.webtext import decontaminate_fuzzy
+
+    bench_text = " ".join(f"b{i} b{i}x" for i in range(40))
+    other = " ".join(f"c{i} c{i}y" for i in range(40))
+    bench = spark.createDataFrame([(1000, bench_text)],
+                                  "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, bench_text + " tail"),     # near-dup of the benchmark
+         (1, other),                    # near-dup of doc 2, NOT bench
+         (2, other + " tail"),
+         (3, " ".join(f"u{i} u{i}z" for i in range(40)))],  # unique
+        "doc_id long, text string")
+    out = decontaminate_fuzzy(docs, bench, threshold=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    for h in getattr(out, "_internal_persists", []):
+        h.unpersist()
+    assert set(rows) == {0}
+    assert rows[0].n_matches == 1 and rows[0].max_jaccard >= 0.5
+    assert rows[0].contaminated

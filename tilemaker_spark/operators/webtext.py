@@ -157,3 +157,40 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     .alias("ngram_hits"))
             .withColumn("contaminated",
                         (F.col("ngram_hits") >= min_hits).cast("boolean")))
+
+
+def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 2, k: int = 16,
+                        rows_per_band: int = 2,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate decontamination: flag training documents whose
+    text is a NEAR-duplicate of any benchmark doc (exact Jaccard >=
+    threshold, LSH-candidated) — catches paraphrased / lightly edited
+    eval leakage that :func:`decontaminate`'s exact n-gram overlap
+    misses. The two are complementary and real pipelines run both.
+
+    Scale shape: the cross-set LSH path
+    (:func:`~tilemaker_spark.operators.dedup.incremental_lsh_pairs`
+    with the benchmark as the stored 'corpus' side) — only the tiny
+    benchmark is fully shingled+banded; the corpus side joins the band
+    index and is text-read only for candidates. Doc ids of ``docs``
+    and ``benchmark`` must be disjoint.
+
+    Returns (doc_id, n_matches, max_jaccard, contaminated) covering
+    only flagged docs (anti-join the result to drop them).
+    """
+    from tilemaker_spark.operators.dedup import incremental_lsh_pairs
+
+    pairs = incremental_lsh_pairs(
+        docs, benchmark, n=n, k=k, rows_per_band=rows_per_band,
+        threshold=threshold)
+    # incremental also reports docs-vs-docs pairs; decontamination only
+    # cares about matches INTO the benchmark set
+    bench_ids = benchmark.select(F.col("doc_id").alias("dup_id"))
+    out = (pairs.join(F.broadcast(bench_ids), "dup_id", "left_semi")
+           .groupBy(F.col("new_id").alias("doc_id"))
+           .agg(F.count("*").alias("n_matches"),
+                F.max("jaccard").alias("max_jaccard"))
+           .withColumn("contaminated", F.lit(True)))
+    out._internal_persists = getattr(pairs, "_internal_persists", [])
+    return out
