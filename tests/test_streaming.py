@@ -355,3 +355,15 @@ def test_streaming_dedup_matches_batch_replay(spark, tmp_path):
     again = {(r.new_id, r.dup_id) for r in
              read_dedup_pairs(spark, workdir).collect()}
     assert again == got
+
+    # replay guard: wipe the STREAM checkpoint so every file re-delivers
+    # under already-committed batch ids — the processor must skip them
+    # (processing would dedup each batch against its own committed docs
+    # and emit jaccard-1.0 self-pairs)
+    shutil.rmtree(os.path.join(workdir, "checkpoint"))
+    q = start_streaming_dedup(spark, docs_dir, workdir, threshold=0.5)
+    q.awaitTermination(120)
+    replayed = {(r.new_id, r.dup_id) for r in
+                read_dedup_pairs(spark, workdir).collect()}
+    assert replayed == got
+    assert not any(a == b for a, b in replayed)

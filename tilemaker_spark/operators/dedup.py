@@ -269,7 +269,9 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
                           n: int = 2, k: int = 16,
                           rows_per_band: int = 2,
                           threshold: float = 0.35,
-                          corpus_bands: DataFrame | None = None) -> DataFrame:
+                          corpus_bands: DataFrame | None = None,
+                          new_bands: DataFrame | None = None,
+                          cross_only: bool = False) -> DataFrame:
     """Incremental (cross-snapshot) near-dup detection: a NEW crawl
     batch against the EXISTING corpus — the per-snapshot dedup step of
     a continuously-ingesting web pipeline, where re-running all-corpus
@@ -288,32 +290,41 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
     semi-join on the candidate dup ids — per-crawl cost is
     O(new batch + collisions), independent of corpus size. When
     ``corpus_bands`` is None (tests / first snapshot) the index is
-    derived from ``corpus_docs`` in-plan. New and corpus doc_ids must
-    be disjoint. Persisted handles are exposed as
-    ``_internal_persists``.
+    derived from ``corpus_docs`` in-plan; pass ``new_bands`` (the
+    batch's own precomputed :func:`minhash_band_table`) to skip
+    re-deriving the batch signatures when the caller also stores them.
+    ``cross_only=True`` skips the new x new self-join entirely —
+    the shape cross-set consumers (fuzzy decontamination) want, where
+    pairs WITHIN ``new_docs`` are not of interest and verifying them
+    would be pure wasted work. New and corpus doc_ids must be
+    disjoint. Persisted handles are exposed as ``_internal_persists``.
     """
     from pyspark import StorageLevel
 
     sh_new = shingles(new_docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    bands_new = _band_explode(
-        _signatures_from_shingles(sh_new, k), k, rows_per_band) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    persists = [sh_new]
+    if new_bands is None:
+        new_bands = _band_explode(
+            _signatures_from_shingles(sh_new, k), k, rows_per_band) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        persists.append(new_bands)
     if corpus_bands is None:
         corpus_bands = minhash_band_table(corpus_docs, n, k, rows_per_band)
 
-    a = bands_new.select(F.col("doc_id").alias("new_id"),
+    a = new_bands.select(F.col("doc_id").alias("new_id"),
                          "band_id", "band_hash")
     bc = corpus_bands.select(F.col("doc_id").alias("dup_id"),
                              "band_id", "band_hash")
-    cross = (a.join(bc, ["band_id", "band_hash"])
-             .select("new_id", "dup_id"))
-    bn = bands_new.select(F.col("doc_id").alias("dup_id"),
-                          "band_id", "band_hash")
-    self_ = (a.join(bn, ["band_id", "band_hash"])
-             .filter(F.col("dup_id") < F.col("new_id"))
-             .select("new_id", "dup_id"))
-    cand = cross.union(self_).dropDuplicates() \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (a.join(bc, ["band_id", "band_hash"])
+            .select("new_id", "dup_id"))
+    if not cross_only:
+        bn = new_bands.select(F.col("doc_id").alias("dup_id"),
+                              "band_id", "band_hash")
+        self_ = (a.join(bn, ["band_id", "band_hash"])
+                 .filter(F.col("dup_id") < F.col("new_id"))
+                 .select("new_id", "dup_id"))
+        cand = cand.union(self_)
+    cand = cand.dropDuplicates().persist(StorageLevel.MEMORY_AND_DISK)
 
     # corpus text only for candidate dup ids (semi-join keeps the scan
     # pruned to the collision set), then the usual anchored verify
@@ -337,7 +348,7 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
            .withColumn("jaccard", F.round(inter / union, 6))
            .filter(F.col("jaccard") >= threshold)
            .select("new_id", "dup_id", "jaccard"))
-    out._internal_persists = [sh_new, bands_new, cand, sh_corp]
+    out._internal_persists = persists + [cand, sh_corp]
     return out
 
 

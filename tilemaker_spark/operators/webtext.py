@@ -171,10 +171,13 @@ def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
 
     Scale shape: the cross-set LSH path
     (:func:`~tilemaker_spark.operators.dedup.incremental_lsh_pairs`
-    with the benchmark as the stored 'corpus' side) — only the tiny
-    benchmark is fully shingled+banded; the corpus side joins the band
-    index and is text-read only for candidates. Doc ids of ``docs``
-    and ``benchmark`` must be disjoint.
+    with the benchmark as the stored 'corpus' side and
+    ``cross_only=True``): the training side is banded only to PROBE
+    the benchmark index — no training x training self-join and no
+    verification of training-internal pairs ever happens — and
+    training text is read for verification only on candidate matches
+    into the benchmark. Doc ids of ``docs`` and ``benchmark`` must be
+    disjoint.
 
     Returns (doc_id, n_matches, max_jaccard, contaminated) covering
     only flagged docs (anti-join the result to drop them).
@@ -183,12 +186,8 @@ def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
 
     pairs = incremental_lsh_pairs(
         docs, benchmark, n=n, k=k, rows_per_band=rows_per_band,
-        threshold=threshold)
-    # incremental also reports docs-vs-docs pairs; decontamination only
-    # cares about matches INTO the benchmark set
-    bench_ids = benchmark.select(F.col("doc_id").alias("dup_id"))
-    out = (pairs.join(F.broadcast(bench_ids), "dup_id", "left_semi")
-           .groupBy(F.col("new_id").alias("doc_id"))
+        threshold=threshold, cross_only=True)
+    out = (pairs.groupBy(F.col("new_id").alias("doc_id"))
            .agg(F.count("*").alias("n_matches"),
                 F.max("jaccard").alias("max_jaccard"))
            .withColumn("contaminated", F.lit(True)))

@@ -15,7 +15,10 @@ writes three idempotent per-batch parquet dirs —
 
 then appends the batch id to ``{workdir}/COMMITTED`` atomically
 (write-tmp + rename). A crash mid-batch replays the SAME deterministic
-writes (overwrite mode) before the pointer moves, and readers union
+writes (overwrite mode) before the pointer moves; a crash AFTER the
+pointer moved but before the stream checkpoint committed re-delivers
+the batch_id, which the processor detects against COMMITTED and skips
+(otherwise the batch would dedup against its own docs). Readers union
 only committed batch dirs — exactly-once end to end on top of the
 stream's checkpointLocation.
 
@@ -90,6 +93,13 @@ def start_streaming_dedup(spark: SparkSession, docs_dir: str, workdir: str,
               .parquet(docs_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int):
+        # Replay guard: a crash AFTER _commit but before the stream's
+        # own checkpoint commit re-delivers this batch_id; without the
+        # guard the batch's own docs would already be in the committed
+        # corpus and every doc would match itself (self-pairs at
+        # jaccard 1.0), permanently corrupting the pairs delta.
+        if batch_id in _committed(workdir):
+            return
         batch_docs = batch_df.select("doc_id", "text")
         if batch_docs.isEmpty():
             return
@@ -97,20 +107,25 @@ def start_streaming_dedup(spark: SparkSession, docs_dir: str, workdir: str,
             spark, workdir, "docs", "doc_id long, text string")
         corpus_bands = _union_committed(
             spark, workdir, "bands", _BANDS_SCHEMA)
+        # Band the batch ONCE: write the index delta (partitioned by
+        # band_id so corpus-side band joins can prune), read it back,
+        # and feed it to the pair search as precomputed new bands.
+        bands_path = os.path.join(workdir, "bands", f"batch_{batch_id}")
+        minhash_band_table(batch_docs, n=n, k=k,
+                           rows_per_band=rows_per_band) \
+            .write.mode("overwrite").partitionBy("band_id") \
+            .parquet(bands_path)
+        new_bands = spark.read.schema(_BANDS_SCHEMA).parquet(bands_path)
         pairs = incremental_lsh_pairs(
             batch_docs, corpus_docs, n=n, k=k,
             rows_per_band=rows_per_band, threshold=threshold,
-            corpus_bands=corpus_bands)
+            corpus_bands=corpus_bands, new_bands=new_bands)
         try:
             pairs.write.mode("overwrite").parquet(
                 os.path.join(workdir, "pairs", f"batch_{batch_id}"))
         finally:
             for h in getattr(pairs, "_internal_persists", []):
                 h.unpersist()
-        minhash_band_table(batch_docs, n=n, k=k,
-                           rows_per_band=rows_per_band) \
-            .write.mode("overwrite").parquet(
-                os.path.join(workdir, "bands", f"batch_{batch_id}"))
         batch_docs.write.mode("overwrite").parquet(
             os.path.join(workdir, "docs", f"batch_{batch_id}"))
         _commit(workdir, batch_id)
