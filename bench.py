@@ -99,7 +99,12 @@ def run_e2e(spark, n_pages: int, workdir: str, repeats: int = 2) -> dict:
     best = None
     runs = []
     load_start = _load1()
-    for _ in range(repeats):
+    # best-of-N with the same burst-adaptive retry as the query loop:
+    # when the two walls disagree by >1.5x a neighbor burst likely
+    # spanned one (this VM cycles to load 8-17), so take up to
+    # repeats+2 runs hunting for a clean window
+    while len(runs) < repeats or (min(runs) * 1.5 < sorted(runs)[1]
+                                  and len(runs) < repeats + 2):
         shutil.rmtree(workdir, ignore_errors=True)
         pipe = TilePipeline(spark, cfg, workdir=workdir)
         t0 = time.time()
