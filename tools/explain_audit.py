@@ -31,7 +31,7 @@ AUDIT = [
     "s2_cells", "html_extract", "pii_scrub", "url_dedup_latest",
     "simhash_pairs_wide", "dedup_incremental", "span_dedup",
     "lm_corpus_fit", "stratified_sample", "token_budget_sample",
-    "dedup_clusters",
+    "dedup_clusters", "decontaminate", "decontaminate_fuzzy",
 ]
 
 
