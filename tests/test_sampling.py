@@ -95,9 +95,14 @@ def test_token_budget_matches_naive_reference(spark):
     def key(doc_id):
         return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
 
+    from tilemaker_spark.operators.sampling import token_budget_sample_naive
+
     for budget in (1, 37, 200, 1500, 10**9):
         got = {(r.doc_id): (r.take_rank, r.cum_tokens)
                for r in token_budget_sample(d, "lang", budget).collect()}
+        got_naive = {(r.doc_id): (r.take_rank, r.cum_tokens)
+                     for r in token_budget_sample_naive(
+                         d, "lang", budget).collect()}
         want = {}
         by_lang = {}
         for doc_id, lang, nt in rows:
@@ -109,4 +114,7 @@ def test_token_budget_matches_naive_reference(spark):
                 cum += nt
                 if cum <= budget or rank == 1:
                     want[doc_id] = (rank, cum)
-        assert got == want, f"budget={budget}"
+        assert got == want, f"bucketed diverged, budget={budget}"
+        # the oracle-facing single-window formulation must be identical
+        # to both the bucketed scale path and the replay
+        assert got_naive == want, f"naive diverged, budget={budget}"

@@ -51,6 +51,31 @@ def stratified_sample(docs: DataFrame, group_col: str,
     return docs.filter(_hash_key(key_col) < thr)
 
 
+def token_budget_sample_naive(docs: DataFrame, group_col: str,
+                              budget_tokens: int,
+                              key_col: str = "doc_id") -> DataFrame:
+    """Single-window reference formulation of :func:`token_budget_sample`
+    — one `Window.partitionBy(group)` running sum, a literal transcription
+    of the DuckDB oracle twin, so the two sides share the exact same plan
+    shape and cannot diverge. This is the ORACLE-FACING variant: fine at
+    contract scale (sf0.01), but a whole language lands in one partition,
+    so production pipelines use the bucketed :func:`token_budget_sample`,
+    which pytest pins equal to this one row-for-row."""
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy(group_col).orderBy("_key", key_col)
+    ranked = (docs
+              .withColumn("n_tokens", n_tokens)
+              .withColumn("_key", _hash_key(key_col))
+              .withColumn("take_rank", F.row_number().over(w).cast("int"))
+              .withColumn("cum_tokens",
+                          F.sum("n_tokens").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (ranked
+            .filter((F.col("cum_tokens") <= budget_tokens) |
+                    (F.col("take_rank") == 1))
+            .drop("_key"))
+
+
 def token_budget_sample(docs: DataFrame, group_col: str,
                         budget_tokens: int,
                         key_col: str = "doc_id") -> DataFrame:
