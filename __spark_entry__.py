@@ -293,10 +293,13 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: exact-jaccard pairs -> connected components
     (min-label propagation) -> (doc_id, cluster_id, cluster_size).
     The DuckDB twin recomputes components with a recursive CTE — an
-    entirely different algorithm, so convergence itself is checked."""
+    entirely different algorithm, so convergence itself is checked.
+    max_shingle_df=None: the oracle twin is uncapped, so the contract
+    query runs the exact semantics (pipelines keep the df-cap default)."""
     from tilemaker_spark.operators.dedup import dedup_clusters
     return dedup_clusters(_docs(spark, sf_dir), n=2,
-                          threshold=JACCARD_THRESHOLD)
+                          threshold=JACCARD_THRESHOLD,
+                          max_shingle_df=None)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1457,12 +1460,14 @@ FROM lab JOIN siz USING (cluster_id)"""
     q["span_dedup"] = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sp AS (SELECT doc_id,
-         CAST(('0x' || substr(md5({_span_parts}), 1, 15)) AS BIGINT) AS h
+         CAST(('0x' || substr(md5({_span_parts}), 1, 15)) AS BIGINT) AS h,
+         CAST(('0x' || substr(md5({_span_parts}), 16, 15)) AS BIGINT) AS h2
        FROM toks, UNNEST(range(1, len(w) - {SPAN_K - 2})) AS t(i)),
-dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT h, h2 FROM sp GROUP BY h, h2
+        HAVING count(DISTINCT doc_id) >= 2),
 per AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
 dupc AS (SELECT doc_id, count(*) AS dup_spans
-         FROM sp JOIN dup USING (h) GROUP BY doc_id)
+         FROM sp JOIN dup USING (h, h2) GROUP BY doc_id)
 SELECT p.doc_id, CAST(p.n_spans AS BIGINT) AS n_spans,
        CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
        round(coalesce(d.dup_spans, 0) / CAST(p.n_spans AS DOUBLE), 6)

@@ -342,3 +342,39 @@ def test_duplicate_spans_report(spark):
     # only the cross-doc 3-gram appears; within-doc repeats are not
     # duplicates, single-doc spans are filtered
     assert got == {"x y z": (2, 2)}
+
+
+def test_stop_shingle_cap_bounds_pairs_through_clusters(spark):
+    """A planted stop-shingle shared by 40 docs goes O(df^2) in the
+    uncapped pair join; the df cap (wired as dedup_clusters' pipeline
+    default) drops it while genuine near-dups still cluster."""
+    import inspect
+
+    from tilemaker_spark.operators.dedup import (DEFAULT_MAX_SHINGLE_DF,
+                                                 dedup_clusters,
+                                                 ngram_jaccard_pairs)
+
+    rows = [(i, f"the same u{i} v{i} w{i}") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta"),
+             (101, "alpha beta gamma delta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: every pair of the 40 docs shares "the same" -> C(40,2)
+    n_uncapped = ngram_jaccard_pairs(d, n=2, threshold=0.0).count()
+    assert n_uncapped >= 40 * 39 // 2
+    # capped: the hot shingle is dropped pre-pairing; only the planted
+    # identical pair survives
+    n_capped = ngram_jaccard_pairs(d, n=2, threshold=0.0,
+                                   max_shingle_df=10).count()
+    assert n_capped == 1
+
+    out = dedup_clusters(d, n=2, threshold=0.5, max_shingle_df=10)
+    got = {(r.doc_id, r.cluster_id, r.cluster_size) for r in out.collect()}
+    for h in getattr(out, "_internal_persists", []):
+        h.unpersist()
+    assert got == {(100, 100, 2), (101, 100, 2)}
+
+    # the pipeline-facing wrapper defaults the cap ON
+    sig = inspect.signature(dedup_clusters)
+    assert sig.parameters["max_shingle_df"].default == DEFAULT_MAX_SHINGLE_DF
+    assert DEFAULT_MAX_SHINGLE_DF is not None

@@ -367,3 +367,33 @@ def test_streaming_dedup_matches_batch_replay(spark, tmp_path):
                 read_dedup_pairs(spark, workdir).collect()}
     assert replayed == got
     assert not any(a == b for a, b in replayed)
+
+
+def test_streaming_dedup_ledger_conflict_fails_fast(spark, tmp_path):
+    """Checkpoint wiped while DIFFERENT input files are pending: batch
+    ids restart at 0, colliding with a committed id whose content
+    fingerprint differs. Skipping would silently drop the new data,
+    processing would overwrite the old batch's delta — the processor
+    must fail fast instead."""
+    from tilemaker_spark.streaming.dedup import start_streaming_dedup
+
+    docs_dir = str(tmp_path / "docs_in")
+    workdir = str(tmp_path / "dedup_state")
+    os.makedirs(docs_dir)
+
+    _write_docs(spark, docs_dir,
+                [(1, "a b c d", "en"), (2, "e f g h", "en")], "a")
+    q = start_streaming_dedup(spark, docs_dir, workdir, threshold=0.5)
+    q.awaitTermination(120)
+
+    # simulate operator error: checkpoint recreated, old input replaced
+    # by a genuinely new file that will be delivered as batch_id 0
+    shutil.rmtree(os.path.join(workdir, "checkpoint"))
+    os.remove(os.path.join(docs_dir, "a.parquet"))
+    _write_docs(spark, docs_dir,
+                [(10, "p q r s", "en"), (11, "t u v w", "en")], "b")
+
+    q = start_streaming_dedup(spark, docs_dir, workdir, threshold=0.5)
+    with pytest.raises(Exception, match="ledger conflict"):
+        q.awaitTermination(120)
+        raise AssertionError("stream drained without raising")

@@ -239,7 +239,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     cand = (a.join(b, ["band_id", "band_hash"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").dropDuplicates())
+            .select("doc_a", "doc_b").dropDuplicates()
+            .persist(StorageLevel.MEMORY_AND_DISK))
     # exact-jaccard verification restricted to candidate pairs, via
     # per-doc shingle-set ARRAYS: two doc-id equi-joins attach each
     # side's set, then array_intersect computes |A ∩ B| JVM-side per
@@ -249,19 +250,34 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
     # still linear in |candidates|, exact string-set semantics, and a
     # doc's set rides along wherever its id is hashed — at 100 TB the
     # arrays table is one map-side-combined groupBy of the shingle
-    # table, nothing else changes.
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    # table, nothing else changes. Set arrays are built ONLY for docs
+    # that appear in a candidate pair (left-semi on the candidate id
+    # set) — non-candidate docs never materialize their array, so a
+    # long-doc corpus with a sparse collision graph can't blow
+    # executor memory on sets nobody will compare.
+    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
+                .union(cand.select(F.col("doc_b").alias("doc_id")))
+                .dropDuplicates())
+    sets = (sh.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set")))
     seta = sets.select(F.col("doc_id").alias("doc_a"),
                        F.col("sh_set").alias("set_a"))
     setb = sets.select(F.col("doc_id").alias("doc_b"),
                        F.col("sh_set").alias("set_b"))
+    # exact-safe size prefilter (PPJoin-style): J = |∩|/|∪| <=
+    # min(|A|,|B|)/max(|A|,|B|), so a pair whose size ratio is already
+    # below the threshold cannot pass — drop it BEFORE the O(|A|+|B|)
+    # array_intersect. Never changes output rows.
+    size_ok = (F.least(F.size("set_a"), F.size("set_b")) >=
+               F.greatest(F.size("set_a"), F.size("set_b")) * threshold)
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
     out = (cand.join(seta, "doc_a").join(setb, "doc_b")
+           .filter(size_ok)
            .withColumn("jaccard", F.round(inter / union, 6))
            .filter(F.col("jaccard") >= threshold)
            .select("doc_a", "doc_b", "jaccard"))
-    out._internal_persists = [sh, sig]
+    out._internal_persists = [sh, sig, cand]
     return out
 
 
@@ -335,16 +351,28 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
     # set arrays (see minhash_lsh_pairs); persisting it keeps the
     # corpus semi-join+shingle to ONE pass
     sh_corp = shingles(corp_cand, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sh_ver = sh_new.union(sh_corp)
+    # prune the NEW side the same way the corpus side already is: set
+    # arrays only for docs that appear in some candidate pair (a new
+    # doc can sit on either side — dup_id for new x new pairs — so the
+    # semi-join keys on both columns; corpus ids in the key set are
+    # harmlessly absent from sh_new)
+    cand_new_ids = (cand.select(F.col("new_id").alias("doc_id"))
+                    .union(cand.select(F.col("dup_id").alias("doc_id")))
+                    .dropDuplicates())
+    sh_ver = sh_new.join(cand_new_ids, "doc_id", "left_semi") \
+        .union(sh_corp)
     sets = sh_ver.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh_set"))
     seta = sets.select(F.col("doc_id").alias("new_id"),
                        F.col("sh_set").alias("set_a"))
     setb = sets.select(F.col("doc_id").alias("dup_id"),
                        F.col("sh_set").alias("set_b"))
+    size_ok = (F.least(F.size("set_a"), F.size("set_b")) >=
+               F.greatest(F.size("set_a"), F.size("set_b")) * threshold)
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
     out = (cand.join(seta, "new_id").join(setb, "dup_id")
+           .filter(size_ok)
            .withColumn("jaccard", F.round(inter / union, 6))
            .filter(F.col("jaccard") >= threshold)
            .select("new_id", "dup_id", "jaccard"))
@@ -540,12 +568,29 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     return out
 
 
+# Pipeline-facing stop-shingle df cap. A shingle in d docs creates
+# O(d^2) candidate pairs in any shingle-sharing join; at 10k the worst
+# single shingle is bounded at ~5e7 pairs per shingle while no real
+# near-dup signal survives above that df anyway (a shingle shared by
+# 10k docs is a stopword phrase, not evidence of duplication).
+# Contract/oracle queries pass max_shingle_df=None explicitly to keep
+# oracle rows byte-identical with the uncapped DuckDB twin.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def dedup_clusters(docs: DataFrame, n: int = 2, threshold: float = 0.5,
-                   max_shingle_df: int | None = None) -> DataFrame:
+                   max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+                   ) -> DataFrame:
     """End-to-end near-dup clustering: exact n-gram Jaccard pairs at
     `threshold` -> connected components -> (doc_id, cluster_id,
     cluster_size), smallest doc_id canonical. Docs in no pair are
-    singletons and are omitted (their cluster is themselves)."""
+    singletons and are omitted (their cluster is themselves).
+
+    As the pipeline-facing wrapper this defaults the stop-shingle df
+    cap ON (``DEFAULT_MAX_SHINGLE_DF``) so one hot shingle cannot go
+    O(df^2) at corpus scale; pass ``max_shingle_df=None`` for the
+    uncapped exact semantics (what the oracle contract query does —
+    equivalent below the cap anyway, and sf0.01's max df is ~500)."""
     pairs = ngram_jaccard_pairs(docs, n, threshold, max_shingle_df)
     cc = connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
@@ -591,6 +636,17 @@ def _span_key():
     return hash_key60("span")
 
 
+def _span_key2():
+    """SECOND 60 bits of md5(span) — hex digits 16..30. Together with
+    :func:`_span_key` this gives a 120-bit span identity: at 10^12
+    span occurrences the birthday bound is ~(10^12)^2 / 2^121 ≈ 4e-13
+    expected collisions, vs ~0.5 expected at 60 bits (where distinct
+    spans would silently conflate and overcount dup_spans). Still two
+    8-byte longs on the shuffle wire, not a 32-byte hex string."""
+    return (F.conv(F.substring(F.md5(F.col("span").cast("string")), 16, 15),
+                   16, 10).cast("long"))
+
+
 def duplicate_spans(docs: DataFrame, k: int = 5) -> DataFrame:
     """Corpus-level report of word k-gram spans occurring in >= 2
     distinct documents: (span, n_docs, n_occ), the candidate list an
@@ -616,18 +672,21 @@ def span_dedup_stats(docs: DataFrame, k: int = 5) -> DataFrame:
 
     Scale shape: spans table persisted once and consumed by three
     subtrees (per-doc totals, the dup-key set, the dup-count join);
-    every shuffle after the explode is keyed on the 60-bit span key
-    (8-byte longs). Map-side combine applies to both groupBys; the
-    dup-set join is an equi-join on the key. Linear at 100 TB, no
-    all-pairs anywhere."""
+    every shuffle after the explode is keyed on the 120-bit span
+    identity (TWO 8-byte longs — see :func:`_span_key2` for the
+    birthday math; 60 bits alone expects ~0.5 collisions at 10^12
+    occurrences, conflating distinct spans). Map-side combine applies
+    to both groupBys; the dup-set join is an equi-join on the key
+    pair. Linear at 100 TB, no all-pairs anywhere."""
     from pyspark import StorageLevel
-    sp = (_word_spans(docs, k).select("doc_id", _span_key().alias("h"))
+    sp = (_word_spans(docs, k)
+          .select("doc_id", _span_key().alias("h"), _span_key2().alias("h2"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     per_doc = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    dup = (sp.groupBy("h")
+    dup = (sp.groupBy("h", "h2")
            .agg(F.count_distinct("doc_id").alias("nd"))
-           .filter(F.col("nd") >= 2).select("h"))
-    dup_per_doc = (sp.join(dup, "h")
+           .filter(F.col("nd") >= 2).select("h", "h2"))
+    dup_per_doc = (sp.join(dup, ["h", "h2"])
                    .groupBy("doc_id")
                    .agg(F.count("*").alias("dup_spans")))
     out = (per_doc.join(dup_per_doc, "doc_id", "left")

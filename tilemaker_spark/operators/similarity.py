@@ -36,14 +36,31 @@ def _cosine(a, b):
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _probe_rows(embeddings: DataFrame, probe_ids) -> DataFrame:
+    """Probe-row selection as a SEMI-JOIN, never an In-filter.
+
+    probe_ids may be a small Python iterable (broadcast a one-column
+    DataFrame built from it) or a DataFrame with a ``vec_id`` column
+    (plain left-semi; AQE broadcasts it if small). An ``isin(list)``
+    here would serialize every id into the plan — fine for a bounded
+    contract probe set, quadratic-parse/launch pain for the millions of
+    probes an unbounded caller can legitimately pass at corpus scale."""
+    if isinstance(probe_ids, DataFrame):
+        ids = probe_ids.select("vec_id")
+        return embeddings.join(ids, "vec_id", "left_semi")
+    ids = embeddings.sparkSession.createDataFrame(
+        [(int(i),) for i in probe_ids], "vec_id long")
+    return embeddings.join(F.broadcast(ids), "vec_id", "left_semi")
+
+
 def cosine_topk(embeddings: DataFrame, probe_ids, k: int = 5) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for each probe vector.
 
-    probe_ids: iterable of vec_id values to use as probes. Returns
-    (probe_id, vec_id, cos_sim, rank); self-matches excluded.
+    probe_ids: iterable of vec_id values (or a DataFrame with vec_id)
+    to use as probes. Returns (probe_id, vec_id, cos_sim, rank);
+    self-matches excluded.
     """
-    probes = (embeddings
-              .filter(F.col("vec_id").isin(list(probe_ids)))
+    probes = (_probe_rows(embeddings, probe_ids)
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("probe_emb")))
     cand = embeddings.crossJoin(F.broadcast(probes)) \
@@ -67,8 +84,7 @@ def ivf_topk(embeddings: DataFrame, probe_ids, k: int = 5,
     (neighbors outside the probe's bucket are missed), exactly like IVF
     with nprobe=1. Returns (probe_id, vec_id, cos_sim, rank).
     """
-    probes = (embeddings
-              .filter(F.col("vec_id").isin(list(probe_ids)))
+    probes = (_probe_rows(embeddings, probe_ids)
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("probe_emb"),
                       F.col(bucket_col).alias("bucket")))
@@ -181,8 +197,7 @@ def ivf_topk_kmeans(embeddings: DataFrame, probe_ids, k: int = 5,
         order = np.argsort(-scores, axis=1)[:, :nprobe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
-    probes = (assigned
-              .filter(F.col("vec_id").isin(list(probe_ids)))
+    probes = (_probe_rows(assigned, probe_ids)
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("probe_emb"))
               .withColumn("cluster",

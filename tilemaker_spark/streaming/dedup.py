@@ -38,23 +38,48 @@ DOCS_SCHEMA = "doc_id long, text string, lang string"
 _BANDS_SCHEMA = "doc_id long, band_id int, band_hash long"
 
 
-def _committed(workdir: str) -> list[int]:
+def _ledger(workdir: str) -> dict:
     ptr = os.path.join(workdir, "COMMITTED")
     if not os.path.exists(ptr):
-        return []
+        return {"batches": [], "fingerprints": {}}
     with open(ptr) as f:
-        return json.load(f)["batches"]
+        led = json.load(f)
+    led.setdefault("fingerprints", {})  # pre-round-5 ledgers
+    return led
 
 
-def _commit(workdir: str, batch_id: int) -> None:
-    ids = _committed(workdir)
-    if batch_id not in ids:
-        ids.append(batch_id)
+def _committed(workdir: str) -> list[int]:
+    return _ledger(workdir)["batches"]
+
+
+def _commit(workdir: str, batch_id: int, fingerprint: str) -> None:
+    led = _ledger(workdir)
+    if batch_id not in led["batches"]:
+        led["batches"].append(batch_id)
+        led["batches"].sort()
+    led["fingerprints"][str(batch_id)] = fingerprint
     ptr = os.path.join(workdir, "COMMITTED")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"batches": sorted(ids)}, f)
+        json.dump(led, f)
     os.replace(tmp, ptr)
+
+
+def _batch_fingerprint(batch_df: DataFrame) -> str:
+    """Order-independent content identity of a micro-batch: row count
+    plus a commutative crc32 sum over (doc_id, len(text)). Cheap (one
+    column-pruned agg) and stable across replays of the same files —
+    used to distinguish a TRUE replay of a committed batch_id from a
+    checkpoint-wipe id collision (batch ids restart at 0 when the
+    stream checkpoint is recreated; skipping a genuinely-new batch on
+    the bare id would be silent data loss)."""
+    from pyspark.sql import functions as F
+    r = batch_df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.concat_ws(
+            ":", F.col("doc_id").cast("string"),
+            F.length("text").cast("string")))).alias("s")).first()
+    return f"{r['n']}:{r['s']}"
 
 
 def _union_committed(spark: SparkSession, workdir: str, sub: str,
@@ -98,11 +123,29 @@ def start_streaming_dedup(spark: SparkSession, docs_dir: str, workdir: str,
         # guard the batch's own docs would already be in the committed
         # corpus and every doc would match itself (self-pairs at
         # jaccard 1.0), permanently corrupting the pairs delta.
-        if batch_id in _committed(workdir):
-            return
+        # The skip requires a FULL match — committed id AND content
+        # fingerprint. A committed id with a DIFFERENT fingerprint
+        # means the stream checkpoint was wiped/recreated while new
+        # files were pending (batch ids restart at 0): processing
+        # would overwrite the old batch's delta dirs, skipping would
+        # silently drop the new data — so fail fast instead.
         batch_docs = batch_df.select("doc_id", "text")
         if batch_docs.isEmpty():
             return
+        fp = _batch_fingerprint(batch_docs)
+        led = _ledger(workdir)
+        if batch_id in led["batches"]:
+            stored = led["fingerprints"].get(str(batch_id))
+            if stored is None or stored == fp:
+                return  # true replay (or pre-fingerprint ledger)
+            raise RuntimeError(
+                f"streaming-dedup ledger conflict: batch_id {batch_id} "
+                f"is committed with fingerprint {stored} but the stream "
+                f"delivered different content ({fp}). The checkpoint at "
+                f"{workdir}/checkpoint was likely deleted/recreated with "
+                f"input files pending; refusing to skip or overwrite. "
+                f"Recover by moving the old workdir aside or restoring "
+                f"the checkpoint.")
         corpus_docs = _union_committed(
             spark, workdir, "docs", "doc_id long, text string")
         corpus_bands = _union_committed(
@@ -128,7 +171,7 @@ def start_streaming_dedup(spark: SparkSession, docs_dir: str, workdir: str,
                 h.unpersist()
         batch_docs.write.mode("overwrite").parquet(
             os.path.join(workdir, "docs", f"batch_{batch_id}"))
-        _commit(workdir, batch_id)
+        _commit(workdir, batch_id, fp)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)
