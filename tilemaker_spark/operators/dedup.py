@@ -38,11 +38,21 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 # -------------------------------------------------------------- shingling
 
-def shingles(docs: DataFrame, n: int = 2) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
+def shingles(docs: DataFrame, n: int = 2, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (doc_id, shingle).
 
     Tokenization is a plain single-space split (matches the corpus
     convention and the SQL twin `string_split(text, ' ')`).
+
+    distinct=True (default) dedups within each doc — required by
+    consumers that COUNT shingle rows (exact Jaccard via
+    :func:`_pair_jaccard`, the :func:`drop_hot_shingles` df cap).
+    distinct=False skips the dedup EXCHANGE — a full shuffle of the
+    widest table in any LSH plan — and is exactly as correct for
+    duplicate-insensitive consumers: MinHash ``min`` over repeated
+    shingle rows and ``collect_set`` both ignore within-doc repeats.
+    The MinHash/LSH paths use it; at 100 TB this removes the single
+    biggest shuffle from the signature build.
     """
     # docs with < n tokens yield no shingles; without the filter guard,
     # sequence(1, size(w)-1) DESCENDS for size(w)=1 (Spark sequence(1,0)
@@ -57,7 +67,7 @@ def shingles(docs: DataFrame, n: int = 2) -> DataFrame:
         F.explode(F.expr(
             f"transform(sequence(1, size(w) - {n - 1}), "
             f"i -> concat_ws(' ', {parts}))")).alias("shingle"))
-    return sh.dropDuplicates(["doc_id", "shingle"])
+    return sh.dropDuplicates(["doc_id", "shingle"]) if distinct else sh
 
 
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
@@ -155,9 +165,10 @@ def minhash_signatures(docs: DataFrame, n: int = 2, k: int = 16) -> DataFrame:
     31-bit base hash of each shingle (see :func:`minhash_coeffs`) — ONE
     md5 per shingle row instead of k, the rest whole-stage-codegen
     integer math. One explode + one partial-aggregated groupBy —
-    scales linearly.
+    scales linearly. Shingles stay NON-distinct (``min`` is
+    duplicate-insensitive), skipping the dedup exchange entirely.
     """
-    return _signatures_from_shingles(shingles(docs, n), k)
+    return _signatures_from_shingles(shingles(docs, n, distinct=False), k)
 
 
 def _band_explode(sig: DataFrame, k: int, rows_per_band: int) -> DataFrame:
@@ -197,7 +208,8 @@ def minhash_band_table(docs: DataFrame, n: int = 2, k: int = 16,
     band_id; incremental crawls then band only the NEW batch and
     equi-join here — the corpus is never re-shingled."""
     return _band_explode(
-        _signatures_from_shingles(shingles(docs, n), k), k, rows_per_band)
+        _signatures_from_shingles(shingles(docs, n, distinct=False), k),
+        k, rows_per_band)
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
@@ -229,7 +241,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 2, k: int = 16,
     """
     from pyspark import StorageLevel
 
-    sh = shingles(docs, n)
+    # the df cap needs DISTINCT rows (df = docs containing the shingle);
+    # without it, both downstream consumers of sh (MinHash min,
+    # collect_set) are duplicate-insensitive, so the dedup exchange —
+    # a full shuffle of the widest table in this plan — is skipped
+    sh = shingles(docs, n, distinct=max_shingle_df is not None)
     if max_shingle_df is not None:
         sh = drop_hot_shingles(sh, max_shingle_df)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -317,7 +333,10 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
     """
     from pyspark import StorageLevel
 
-    sh_new = shingles(new_docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # non-distinct: both consumers (MinHash min, collect_set verify)
+    # are duplicate-insensitive — see minhash_lsh_pairs
+    sh_new = shingles(new_docs, n, distinct=False) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     persists = [sh_new]
     if new_bands is None:
         new_bands = _band_explode(
@@ -350,7 +369,8 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus_docs: DataFrame,
     # the candidate-side shingle table feeds the verify via per-doc
     # set arrays (see minhash_lsh_pairs); persisting it keeps the
     # corpus semi-join+shingle to ONE pass
-    sh_corp = shingles(corp_cand, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_corp = shingles(corp_cand, n, distinct=False) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     # prune the NEW side the same way the corpus side already is: set
     # arrays only for docs that appear in some candidate pair (a new
     # doc can sit on either side — dup_id for new x new pairs — so the

@@ -133,23 +133,28 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
     Scale shape: the benchmark n-gram set is tiny next to the corpus
     (eval suites are MBs, the corpus is TBs), so its DISTINCT n-grams
-    are BROADCAST; the corpus side is one shingle explode + broadcast
-    inner join + one partial-agg groupBy(doc_id) — the corpus text is
-    never shuffled and the scan stays pruned to (doc_id, text). Docs
-    with zero hits are recovered with a left join against the doc-id
-    spine so the output is total over ``docs``.
+    are BROADCAST; the corpus side is one NON-distinct shingle explode
+    filtered map-side by the broadcast join, then one partial-agg
+    groupBy(doc_id) counting DISTINCT matched grams — the within-doc
+    dedup happens AFTER the broadcast filter, on the tiny hit set,
+    instead of shuffling the full corpus shingle table first (at
+    corpus scale that pre-dedup exchange would dominate the whole
+    job). The corpus text is never shuffled and the scan stays pruned
+    to (doc_id, text). Docs with zero hits are recovered with a left
+    join against the doc-id spine so the output is total over
+    ``docs``.
 
     Returns (doc_id, ngram_hits, contaminated) where ngram_hits counts
     DISTINCT overlapping n-grams per document.
     """
     from tilemaker_spark.operators.dedup import shingles
 
-    bench_grams = (shingles(benchmark, n)
+    bench_grams = (shingles(benchmark, n, distinct=False)
                    .select("shingle").dropDuplicates())
-    hits = (shingles(docs, n)
+    hits = (shingles(docs, n, distinct=False)
             .join(F.broadcast(bench_grams), "shingle")
             .groupBy("doc_id")
-            .agg(F.count("*").alias("ngram_hits")))
+            .agg(F.count_distinct("shingle").alias("ngram_hits")))
     return (docs.select("doc_id")
             .join(hits, "doc_id", "left")
             .select("doc_id",
