@@ -298,6 +298,209 @@ def merge_tiles(blobs) -> bytes:
     return encode_tile([merged[n] for n in order])
 
 
+def _shallow_layer(buf: bytes):
+    """Parse a Layer message keeping features/keys/values as raw bytes."""
+    name = b""
+    extent, version = 4096, 2
+    keys: list = []
+    values: list = []
+    feats: list = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            chunk = buf[pos:pos + ln]
+            pos += ln
+            if field == 2:
+                feats.append(chunk)
+            elif field == 3:
+                keys.append(chunk)
+            elif field == 4:
+                values.append(chunk)
+            elif field == 1:
+                name = chunk
+        elif field == 5:
+            extent, pos = _read_varint(buf, pos)
+        elif field == 15:
+            version, pos = _read_varint(buf, pos)
+        else:
+            pos = _skip(buf, pos, wire)
+    return name, extent, version, keys, values, feats
+
+
+def _remap_feature_tags(fbuf: bytes, kmapb: list, vmapb: list) -> bytes:
+    """Rewrite only the tags field of a raw Feature message; id, type and
+    the geometry command stream are copied verbatim (one tail slice).
+    kmapb/vmapb are pre-encoded varint bytes per old index. Varint reads
+    are inlined — this runs once per feature of a hot tile's non-first
+    partials, the merge task's inner loop."""
+    n = len(fbuf)
+    pos = 0
+    while pos < n:
+        start = pos
+        key = fbuf[pos]
+        pos += 1
+        if key & 0x80:  # field >= 16: not an MVT Feature field, skip generic
+            key, pos = _read_varint(fbuf, start)
+            pos = _skip(fbuf, pos, key & 7)
+            continue
+        wire = key & 7
+        if key == 0x12:  # field 2 wire 2: the tags payload
+            ln = fbuf[pos]
+            pos += 1
+            if ln & 0x80:
+                ln &= 0x7F
+                shift = 7
+                while True:
+                    b = fbuf[pos]
+                    pos += 1
+                    ln |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+            end = pos + ln
+            parts = []
+            while pos < end:
+                v = fbuf[pos]
+                pos += 1
+                if v & 0x80:
+                    v &= 0x7F
+                    shift = 7
+                    while True:
+                        b = fbuf[pos]
+                        pos += 1
+                        v |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                parts.append(kmapb[v])
+                v = fbuf[pos]
+                pos += 1
+                if v & 0x80:
+                    v &= 0x7F
+                    shift = 7
+                    while True:
+                        b = fbuf[pos]
+                        pos += 1
+                        v |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                parts.append(vmapb[v])
+            tb = b"".join(parts)
+            return fbuf[:start] + b"\x12" + _varint(len(tb)) + tb + fbuf[end:]
+        # skip a non-tags field inline
+        if wire == 0:
+            while fbuf[pos] & 0x80:
+                pos += 1
+            pos += 1
+        elif wire == 2:
+            ln = fbuf[pos]
+            pos += 1
+            if ln & 0x80:
+                ln &= 0x7F
+                shift = 7
+                while True:
+                    b = fbuf[pos]
+                    pos += 1
+                    ln |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+            pos += ln
+        elif wire == 5:
+            pos += 4
+        elif wire == 1:
+            pos += 8
+    return fbuf  # feature has no tags field: verbatim
+
+
+def merge_tiles_fast(blobs) -> bytes:
+    """Shallow (wire-level) variant of :func:`merge_tiles` for the salted
+    hot-tile merge: feature messages — including the geometry command
+    stream, which is feature-relative and therefore position-independent —
+    are copied verbatim; only the per-layer key/value dictionaries are
+    merged, with tag indexes remapped where the merged tables shift.
+
+    ~30x faster than the decode/re-encode merge on large point tiles
+    (the z10 city-center straggler), and byte-identical to
+    :func:`merge_tiles` for engine-produced partials (LayerBuilder interns
+    keys/values in first-use order and writes attrs key-sorted, so the
+    merged tables come out in the same order — pinned by
+    tests/test_mvt_merge_fast.py). For foreign tiles with unsorted tags
+    the output can differ byte-wise from merge_tiles but decodes to the
+    same features."""
+    order: list = []
+    layers: dict = {}
+    for b in blobs:
+        pos = 0
+        n = len(b)
+        while pos < n:
+            key, pos = _read_varint(b, pos)
+            field, wire = key >> 3, key & 7
+            if field == 3 and wire == 2:
+                ln, pos = _read_varint(b, pos)
+                name, extent, version, keys, values, feats = _shallow_layer(
+                    b[pos:pos + ln])
+                pos += ln
+                L = layers.get(name)
+                if L is None:
+                    L = layers[name] = {
+                        "extent": extent, "version": version,
+                        "keys": [], "key_ix": {},
+                        "values": [], "val_ix": {}, "feats": [],
+                    }
+                    order.append(name)
+                kmap = []
+                identity = True
+                for kb in keys:
+                    ix = L["key_ix"].get(kb)
+                    if ix is None:
+                        ix = len(L["keys"])
+                        L["keys"].append(kb)
+                        L["key_ix"][kb] = ix
+                    if ix != len(kmap):
+                        identity = False
+                    kmap.append(ix)
+                vmap = []
+                for vb in values:
+                    ix = L["val_ix"].get(vb)
+                    if ix is None:
+                        ix = len(L["values"])
+                        L["values"].append(vb)
+                        L["val_ix"][vb] = ix
+                    if ix != len(vmap):
+                        identity = False
+                    vmap.append(ix)
+                if identity:
+                    L["feats"].extend(feats)
+                else:
+                    kmapb = [_varint(ix) for ix in kmap]
+                    vmapb = [_varint(ix) for ix in vmap]
+                    L["feats"].extend(
+                        _remap_feature_tags(f, kmapb, vmapb) for f in feats)
+            else:
+                pos = _skip(b, pos, wire)
+    out = bytearray()
+    for name in order:
+        L = layers[name]
+        payload = bytearray()
+        payload += _varint_field(15, L["version"])
+        payload += _len_field(1, name)
+        for f in L["feats"]:
+            payload += _len_field(2, f)
+        for kb in L["keys"]:
+            payload += _len_field(3, kb)
+        for vb in L["values"]:
+            payload += _len_field(4, vb)
+        payload += _varint_field(5, L["extent"])
+        out += _len_field(3, bytes(payload))
+    return bytes(out)
+
+
 _GZ_HEADER = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03"  # mtime=0, OS=unix
 
 

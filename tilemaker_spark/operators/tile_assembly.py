@@ -134,6 +134,13 @@ _UNION_VERTEX_CAP = 20000
 # driver/executor broadcast budget.
 _HOT_BROADCAST_CAP = 1_000_000
 
+# Per-tile salt fan-out ceiling: a hot tile is spread over
+# ceil(n_features / threshold) partials (at least config.hot_tile_salt),
+# capped so the phase-2 merge fan-in stays bounded. 128 partials at the
+# default 5000-feature threshold covers a 640k-feature tile — beyond any
+# real z10+ density — while keeping the merge task's input list small.
+_SALT_FANOUT_CAP = 128
+
 
 def _union_ring_groups(groups: list) -> list:
     """A5/G12 — true geometric union of the per-feature ring groups of
@@ -538,23 +545,31 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
     # broadcast them executor-side; a pathological hot set beyond the
     # cap falls back to shuffle hash joins instead of an oversized
     # broadcast.
-    hot_keys = (counts.filter(F.col("_n") > threshold).drop("_n")
+    hot_keys = (counts.filter(F.col("_n") > threshold)
+                .withColumnRenamed("_n", "_hot_n")
                 .persist(StorageLevel.MEMORY_AND_DISK))
     n_hot = hot_keys.count()
     if n_hot == 0:
         hot_keys.unpersist()
         return assemble_tiles(feature_tiles, config, num_partitions)
-    hot1 = hot_keys.withColumn("_hot", F.lit(1))
+    hot1 = hot_keys
+    hk = hot_keys.drop("_hot_n")
     if n_hot <= _HOT_BROADCAST_CAP:
         hot1 = F.broadcast(hot1)
-        hk = F.broadcast(hot_keys)
-    else:
-        hk = hot_keys
+        hk = F.broadcast(hk)
     joined = feature_tiles.join(hot1, ["z", "x", "y"], "left")
+    # adaptive fan-out: spread each hot tile over ~threshold-feature
+    # partials so one 160k-feature city-center tile becomes ~32 even
+    # encode tasks instead of `salt` heavy ones — the phase-1 straggler
+    # fix; phase 2 re-unites them with the wire-level merge_tiles_fast
+    fan = F.least(
+        F.lit(_SALT_FANOUT_CAP),
+        F.greatest(F.lit(max(salt, 1)),
+                   F.ceil(F.col("_hot_n") / F.lit(threshold)).cast("int")))
     salted = (joined.withColumn(
-        "salt", F.when(F.col("_hot").isNotNull(),
-                       (F.col("feature_id") % salt).cast("int"))
-        .otherwise(F.lit(0))).drop("_hot"))
+        "salt", F.when(F.col("_hot_n").isNotNull(),
+                       (F.col("feature_id") % fan).cast("int"))
+        .otherwise(F.lit(0))).drop("_hot_n"))
 
     cols = ["z", "x", "y", "salt", "feature_id", "layer", "geom_type",
             "z_order", "attrs", "geom"]
@@ -599,7 +614,8 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
                         elif compress_mode == "deflate":
                             p = _zlib.decompress(p)
                         raw.append(p)
-                    t = mvt.compress_tile(mvt.merge_tiles(raw), compress_mode)
+                    t = mvt.compress_tile(mvt.merge_tiles_fast(raw),
+                                          compress_mode)
                 zs.append(np.int32(z))
                 xs.append(np.int64(x))
                 ys.append(np.int64(y))

@@ -590,7 +590,7 @@ def _concat_mvt_layers(blobs, compress):
         if b[:2] == b"\x1f\x8b":
             b = gzip.decompress(b)
         parts.append(b)
-    merged = mvt.merge_tiles(parts)
+    merged = mvt.merge_tiles_fast(parts)
     if compress == "gzip":
         merged = mvt.compress_tile(merged, "gzip")
     return merged
