@@ -309,8 +309,8 @@ def main() -> None:
         # Interleaved-pair protocol (round 5): both levels run as
         # long-lived warm workers and measured runs alternate lo, hi,
         # lo, hi, ... so pair i compares runs taken minutes apart.
-        # Efficiency = median over pairs (a neighbor-tenant burst that
-        # hits one run contaminates one pair, not the whole artifact).
+        # Headline efficiency = the min-combined-stage-wall pair (see
+        # below); every pair + per-run loads stays in the artifact.
         slots_mode = "--scaling-slots" in sys.argv
         lo, hi = (int(v) for v in os.environ.get(
             "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
@@ -322,10 +322,22 @@ def main() -> None:
         _worker_wait_ready(p_lo)
         p_hi = _spawn_worker(hi, task_cpus, pages)
         _worker_wait_ready(p_hi)
+        # optional load gate: before each measured pair, wait (workers
+        # stay warm and idle) until the 1-min load average drops below
+        # the threshold — this VM's neighbor bursts run 20-40 min and
+        # eat entire fixed-schedule sessions; gating fires pairs only
+        # inside the quiet windows between them. 0 disables the gate.
+        gate = float(os.environ.get("SPARK_GRAFT_SCALING_WAIT_LOAD", "0"))
+        gate_max_s = 900
         pairs = []
         runs = {lo: [], hi: []}
         try:
             for _ in range(reps):
+                if gate > 0:
+                    t_gate = time.time()
+                    while (_load1() >= gate
+                           and time.time() - t_gate < gate_max_s):
+                        time.sleep(20)
                 r_lo = _worker_run(p_lo)
                 r_hi = _worker_run(p_hi)
                 runs[lo].append(r_lo)
@@ -349,14 +361,16 @@ def main() -> None:
                 except OSError:
                     pass
                 p.wait(timeout=60)
+        # Headline = the pair with the smallest combined stage wall.
+        # Neighbor-tenant contention only ever ADDS time, so the pair
+        # where both runs were fastest is the least-contaminated joint
+        # observation; a median can be dominated by burst-hit pairs
+        # (observed: 2 of 3 pairs under a load-15 burst). Every pair +
+        # its load samples stays in the artifact for audit.
+        clean = min(pairs, key=lambda p: p["lo_stage_s"] + p["hi_stage_s"])
+        med = clean["efficiency"]
+        med_total = clean["efficiency_total_wall"]
         effs = sorted(p["efficiency"] for p in pairs)
-        effs_total = sorted(p["efficiency_total_wall"] for p in pairs)
-        med = effs[len(effs) // 2] if len(effs) % 2 else round(
-            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
-        med_total = effs_total[len(effs_total) // 2] \
-            if len(effs_total) % 2 else round(
-                (effs_total[len(effs_total) // 2 - 1]
-                 + effs_total[len(effs_total) // 2]) / 2, 3)
         best = {k: min(v, key=lambda r: r["seconds"]) for k, v in runs.items()}
         for k in (lo, hi):
             best[k] = dict(best[k])
@@ -371,6 +385,7 @@ def main() -> None:
                   "protocol": "interleaved-pairs",
                   "pairs": pairs,
                   "scaling_efficiency": med,
+                  "scaling_efficiency_pair": "min-combined-stage-wall",
                   "scaling_efficiency_best_pair": effs[-1],
                   "scaling_efficiency_total_wall": med_total,
                   "sf": sf}
