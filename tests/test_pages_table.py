@@ -1,0 +1,85 @@
+"""read_pages_table — the catalog-table (Iceberg-shaped) input path.
+
+The north rule's production input is an Iceberg table of Common-Crawl
+style pages; in Spark that is consumed through the session catalog
+(`spark.read.table("catalog.db.pages")`), which is what these tests
+exercise via temp views / parquet paths (the Iceberg runtime jar is not
+in this sandbox — the option passthrough and the catalog resolution are
+the engine's side of the contract).
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.fixtures import pages_from_documents
+from tilemaker_spark.sources import read_pages_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_table_name_resolves_through_catalog(spark):
+    pages = pages_from_documents(spark, SF)
+    pages.createOrReplaceTempView("pages_tv")
+    out = read_pages_table(spark, table="pages_tv")
+    assert out.count() == pages.count()
+    # an existing doc_id column passes through untouched
+    assert (out.select(F.sum("doc_id")).first()[0]
+            == pages.select(F.sum("doc_id")).first()[0])
+    # per-row invariant: text byte-identical per url
+    joined = out.alias("a").join(pages.alias("b"), "url")
+    assert joined.filter("a.text <> b.text").count() == 0
+
+
+def test_doc_id_derived_deterministically_when_absent(spark):
+    pages = pages_from_documents(spark, SF).drop("doc_id")
+    pages.createOrReplaceTempView("pages_noid_tv")
+    out = read_pages_table(spark, table="pages_noid_tv")
+    n = out.count()
+    # xxhash64(url): pure projection, collision-free at this scale,
+    # identical on re-read (no partition-layout dependence)
+    assert out.select("doc_id").distinct().count() == n
+    assert out.filter(F.col("doc_id") != F.xxhash64("url")).count() == 0
+    again = read_pages_table(spark, table="pages_noid_tv")
+    assert (out.select(F.sum("doc_id")).first()[0]
+            == again.select(F.sum("doc_id")).first()[0])
+
+
+def test_path_read_and_column_pruning(spark, tmp_path):
+    p = str(tmp_path / "pages.parquet")
+    pages_from_documents(spark, SF).drop("doc_id").write.parquet(p)
+    out = read_pages_table(spark, path=p, columns=["url", "text"])
+    assert out.columns == ["doc_id", "url", "text"]
+    # the projection reaches the parquet reader: html/lang/warc_ts are
+    # not in ReadSchema (url + text only — doc_id derives from url)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "html" not in rs[0] and "warc_ts" not in rs[0]
+
+
+def test_time_travel_options_pass_through(spark, tmp_path):
+    # file sources ignore the Iceberg read options — passing them must
+    # not break the sandbox path (on an Iceberg table they pin the scan)
+    p = str(tmp_path / "pages2.parquet")
+    pages_from_documents(spark, SF).write.parquet(p)
+    out = read_pages_table(spark, path=p, snapshot_id=12345,
+                           as_of_timestamp=1700000000000, branch="main")
+    assert out.count() > 0
+
+
+def test_exactly_one_source_required(spark):
+    with pytest.raises(ValueError):
+        read_pages_table(spark)
+    with pytest.raises(ValueError):
+        read_pages_table(spark, table="t", path="/x")
+
+
+def test_pipeline_accepts_table_input(spark, tmp_path):
+    """e2e smoke: catalog-table pages -> tiles (the --table CLI path)."""
+    from tilemaker_spark.config import default_config
+    from tilemaker_spark.plans.pipeline import TilePipeline
+    pages_from_documents(spark, SF).limit(50) \
+        .createOrReplaceTempView("pages_e2e_tv")
+    pages = read_pages_table(spark, table="pages_e2e_tv")
+    pipe = TilePipeline(spark, default_config(),
+                        workdir=str(tmp_path / "wd"))
+    tiles = pipe.run(pages)
+    assert tiles.count() > 0

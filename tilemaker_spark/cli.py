@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
                          ".osm.pbf (positional, like the reference)")
     ap.add_argument("--input", dest="input_opt", action="append",
                     default=[], help="additional input (repeatable)")
+    ap.add_argument("--table", default=None,
+                    help="pages table resolved through the session "
+                         "catalog (e.g. an Iceberg catalog.db.table); "
+                         "alternative to a documents.parquet input dir")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="Iceberg time-travel: read --table at this "
+                         "snapshot id")
     ap.add_argument("--output", default=None,
                     help="target directory or .mbtiles/.pmtiles file")
     ap.add_argument("--bbox", default=None,
@@ -77,8 +84,8 @@ _NOOP_FLAGS = ("fast", "compact", "no_compress_nodes", "no_compress_ways",
 def main(argv=None, spark=None) -> dict:
     args = build_parser().parse_args(argv)
     inputs = list(args.input) + list(args.input_opt)
-    if not inputs:
-        build_parser().error("at least one input is required")
+    if not inputs and not args.table:
+        build_parser().error("at least one input (or --table) is required")
 
     def say(msg):
         if not args.quiet:
@@ -141,6 +148,10 @@ def main(argv=None, spark=None) -> dict:
             pages = pages_from_documents(spark, inp)
         else:
             build_parser().error(f"unrecognized input: {inp}")
+    if pages is None and args.table:
+        from tilemaker_spark.sources import read_pages_table
+        pages = read_pages_table(spark, table=args.table,
+                                 snapshot_id=args.snapshot_id)
     if pages is None:
         pages = make_pages(spark, 0)
 

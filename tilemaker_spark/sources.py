@@ -533,3 +533,59 @@ def read_shapefile(spark: SparkSession, shp_path: str, layer: str,
                          spark.sparkContext.defaultParallelism))
     return chunk_df.repartition(n_parts).mapInPandas(
         parse, schema=LAYER_SCHEMA)
+
+
+# ------------------------------------------------ pages table (catalog)
+
+PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def read_pages_table(spark: SparkSession, table: str | None = None,
+                     path: str | None = None, fmt: str = "parquet",
+                     snapshot_id: int | None = None,
+                     as_of_timestamp: int | None = None,
+                     branch: str | None = None,
+                     columns: list[str] | None = None,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Read the mandated pages input table
+    (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+
+    Production shape: ``table="catalog.db.pages"`` resolves through the
+    session catalog — with an Iceberg catalog configured on the session
+    (``spark.sql.catalog.<name>`` = org.apache.iceberg.spark.SparkCatalog)
+    this IS the Iceberg scan, and the time-travel read options pass
+    through untouched: ``snapshot-id``, ``as-of-timestamp`` and
+    ``branch`` are Iceberg read options (file-source providers ignore
+    them), so a pipeline can pin a crawl snapshot for reproducible
+    reruns. Sandbox/tests: ``path=`` reads a file-based table of the
+    same shape (default parquet) — exactly one of ``table``/``path`` is
+    required.
+
+    A deterministic 64-bit ``id_col`` is derived as ``xxhash64(url)``
+    when the table lacks one (the engine's geo-derivation, spatial
+    joins and dedup key on it); a table that already carries the column
+    passes it through byte-identical. xxhash64 is a pure per-row
+    projection — no ``monotonically_increasing_id`` (partition-layout
+    dependent, not reproducible across reruns) and no global
+    ``row_number`` window (a single-partition bottleneck at scale).
+
+    ``columns`` prunes the scan to ``[id_col] + columns`` — with a
+    columnar source the projection reaches the reader (ReadSchema shows
+    only the requested payload columns plus ``url`` when ``id_col`` is
+    derived from it).
+    """
+    if (table is None) == (path is None):
+        raise ValueError("exactly one of table= / path= is required")
+    reader = spark.read
+    for key, val in (("snapshot-id", snapshot_id),
+                     ("as-of-timestamp", as_of_timestamp),
+                     ("branch", branch)):
+        if val is not None:
+            reader = reader.option(key, val)
+    df = reader.table(table) if table is not None \
+        else reader.format(fmt).load(path)
+    if id_col not in df.columns:
+        df = df.withColumn(id_col, F.xxhash64(F.col("url")))
+    if columns is not None:
+        df = df.select(id_col, *[c for c in columns if c != id_col])
+    return df
