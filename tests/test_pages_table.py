@@ -83,3 +83,46 @@ def test_pipeline_accepts_table_input(spark, tmp_path):
                         workdir=str(tmp_path / "wd"))
     tiles = pipe.run(pages)
     assert tiles.count() > 0
+
+
+# ------------------------------------------- spatial partition layout
+
+def test_spatial_layout_roundtrip_and_pruning(spark, tmp_path):
+    from tilemaker_spark.operators.geocode import geocode_pages
+    from tilemaker_spark.sources import (read_pages_spatial,
+                                         write_pages_spatial)
+    p = str(tmp_path / "pages_spatial")
+    pages = pages_from_documents(spark, SF)
+    write_pages_spatial(pages, p, level=3)
+
+    # no bbox: full corpus back, payload intact
+    full = read_pages_spatial(spark, p)
+    assert full.count() == pages.count()
+    joined = full.alias("a").join(pages.alias("b"), "url")
+    assert joined.filter("a.text <> b.text").count() == 0
+
+    # bbox read = exactly the rows of the INTERSECTING cells — a
+    # superset of the exact-bbox rows, subset of the corpus
+    bbox = (-20.0, 20.0, 60.0, 70.0)
+    sub = read_pages_spatial(spark, p, bbox=bbox)
+    n_sub = sub.count()
+    geo = geocode_pages(pages)
+    n_exact = geo.filter((F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+                         & (F.col("lat") >= bbox[1])
+                         & (F.col("lat") <= bbox[3])).count()
+    assert n_exact <= n_sub < pages.count()
+    # every returned row's cell intersects the bbox range
+    import json
+    level = json.load(open(f"{p}/_spatial_layout.json"))["level"]
+    from tilemaker_spark.functions.coords import lat2tiley_np, lon2tilex_np
+    x0, x1 = int(lon2tilex_np(bbox[0], level)), int(lon2tilex_np(bbox[2], level))
+    y0, y1 = int(lat2tiley_np(bbox[3], level)), int(lat2tiley_np(bbox[1], level))
+    bad = sub.filter(~((F.col("cx").between(x0, x1))
+                       & (F.col("cy").between(y0, y1)))).count()
+    assert bad == 0
+
+    # the predicate lands in PartitionFilters (directory pruning, not a
+    # post-scan filter) — the scan never opens non-intersecting cells
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cx" in pf[0] and "PartitionFilters: []" not in pf[0]

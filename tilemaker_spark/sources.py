@@ -589,3 +589,80 @@ def read_pages_table(spark: SparkSession, table: str | None = None,
     if columns is not None:
         df = df.select(id_col, *[c for c in columns if c != id_col])
     return df
+
+
+def write_pages_spatial(pages: DataFrame, path: str, level: int = 4,
+                        lon_col: str = "lon", lat_col: str = "lat",
+                        fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Spatially-partitioned pages layout: partition directories by
+    (cx, cy) web-mercator tile coordinates at ``level``, rows inside
+    each partition z-order-clustered at ``level+8`` for row-group
+    skipping.
+
+    This is the 100-TB half of bbox pruning: the pipeline's F6 tile
+    filter prunes COMPUTE, but against a flat layout a regional extract
+    still scans the whole corpus. Against this layout,
+    :func:`read_pages_spatial` turns the bbox into a (cx, cy) range
+    predicate on the partition columns, so Spark's partition pruning
+    drops non-intersecting directories before any IO — scan cost is
+    O(region), not O(corpus). At level 4 the world is 256 partitions
+    (≈ city-region granularity); raise it for denser corpora.
+
+    Pages lacking lon/lat are geo-derived from ``doc_id`` first (the
+    engine's deterministic geocode). A ``_spatial_layout.json`` sidecar
+    records the level so readers need no out-of-band knowledge.
+    """
+    import json as _json
+    import os as _os
+
+    from tilemaker_spark.functions.coords import (lat2tiley_col,
+                                                  lon2tilex_col,
+                                                  zorder_key_col)
+    if lon_col not in pages.columns or lat_col not in pages.columns:
+        from tilemaker_spark.operators.geocode import geocode_pages
+        pages = geocode_pages(pages)
+    n = 1 << level
+    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c))  # noqa: E731
+    df = (pages
+          .withColumn("cx", clamp(lon2tilex_col(F.col(lon_col), level)))
+          .withColumn("cy", clamp(lat2tiley_col(F.col(lat_col), level))))
+    zkey = zorder_key_col(lon2tilex_col(F.col(lon_col), level + 8),
+                          lat2tiley_col(F.col(lat_col), level + 8))
+    (df.repartition("cx", "cy")
+       .sortWithinPartitions("cx", "cy", zkey)
+       .write.partitionBy("cx", "cy").mode(mode).format(fmt).save(path))
+    with open(_os.path.join(path, "_spatial_layout.json"), "w") as f:
+        _json.dump({"level": level, "partition_cols": ["cx", "cy"]}, f)
+
+
+def read_pages_spatial(spark: SparkSession, path: str,
+                       bbox: tuple | None = None,
+                       fmt: str = "parquet") -> DataFrame:
+    """Read a :func:`write_pages_spatial` layout, partition-pruned to
+    ``bbox = (minlon, minlat, maxlon, maxlat)`` when given.
+
+    The bbox becomes a literal range predicate on the (cx, cy)
+    partition columns, which Catalyst evaluates against directory
+    values at planning time (PartitionFilters in the scan node) — files
+    outside the intersecting cells are never opened. The result is the
+    full content of every INTERSECTING cell (a superset of the exact
+    bbox rows); exact trimming stays with the consumer, which the
+    pipeline's own bbox gates already do.
+    """
+    import json as _json
+    import os as _os
+
+    from tilemaker_spark.functions.coords import lat2tiley_np, lon2tilex_np
+    df = spark.read.format(fmt).load(path)
+    if bbox is None:
+        return df
+    with open(_os.path.join(path, "_spatial_layout.json")) as f:
+        level = _json.load(f)["level"]
+    minlon, minlat, maxlon, maxlat = bbox
+    n = 1 << level
+    cl = lambda v: max(0, min(n - 1, int(v)))  # noqa: E731
+    x0, x1 = cl(lon2tilex_np(minlon, level)), cl(lon2tilex_np(maxlon, level))
+    # tile y grows southward: maxlat -> smallest y
+    y0, y1 = cl(lat2tiley_np(maxlat, level)), cl(lat2tiley_np(minlat, level))
+    return df.filter((F.col("cx") >= x0) & (F.col("cx") <= x1) &
+                     (F.col("cy") >= y0) & (F.col("cy") <= y1))
