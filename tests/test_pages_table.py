@@ -126,3 +126,21 @@ def test_spatial_layout_roundtrip_and_pruning(spark, tmp_path):
     plan = sub._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cx" in pf[0] and "PartitionFilters: []" not in pf[0]
+
+
+def test_cli_spatial_input_with_bbox(spark, tmp_path):
+    """CLI: a spatial-layout input dir + --bbox does a pruned extract."""
+    from tilemaker_spark.cli import main
+    from tilemaker_spark.sources import write_pages_spatial
+    p = str(tmp_path / "layout")
+    write_pages_spatial(pages_from_documents(spark, SF), p, level=3)
+    out = str(tmp_path / "out.mbtiles")
+    res = main([p, "--bbox=-20,20,60,70", "--output", out,
+                "--store", str(tmp_path / "store"), "--force", "--quiet"],
+               spark=spark)
+    assert 0 < res["tiles"]
+    # a full-world run over the same layout writes strictly more tiles
+    res_full = main([p, "--output", str(tmp_path / "out2.mbtiles"),
+                     "--store", str(tmp_path / "store2"), "--force",
+                     "--quiet"], spark=spark)
+    assert res["tiles"] < res_full["tiles"]

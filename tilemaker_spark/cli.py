@@ -144,6 +144,15 @@ def main(argv=None, spark=None) -> dict:
                 # the compiled profile REPLACES the built-in way profile
                 nodes = ways = relations = None
         elif os.path.isdir(inp) and os.path.exists(
+                os.path.join(inp, "_spatial_layout.json")):
+            # write_pages_spatial layout: --bbox prunes the SCAN to the
+            # intersecting (cx, cy) partitions before any IO
+            from tilemaker_spark.sources import read_pages_spatial
+            bbox = (tuple(float(v) for v in args.bbox.split(","))
+                    if args.bbox else None)
+            pages = read_pages_spatial(spark, inp, bbox=bbox) \
+                .drop("cx", "cy")
+        elif os.path.isdir(inp) and os.path.exists(
                 os.path.join(inp, "documents.parquet")):
             pages = pages_from_documents(spark, inp)
         else:
