@@ -144,3 +144,17 @@ def test_cli_spatial_input_with_bbox(spark, tmp_path):
                      "--store", str(tmp_path / "store2"), "--force",
                      "--quiet"], spark=spark)
     assert res["tiles"] < res_full["tiles"]
+
+
+def test_spatial_layout_splits_hot_cells(spark, tmp_path):
+    """A dense cell must NOT collapse into one write task: range
+    partitioning over (cx, cy, zkey) spreads it across many files."""
+    import glob
+    from tilemaker_spark.sources import read_pages_spatial, write_pages_spatial
+    p = str(tmp_path / "hot")
+    pages = pages_from_documents(spark, SF)
+    # level 0 = the whole world in ONE cell — the worst-case hot cell
+    write_pages_spatial(pages, p, level=0, target_partitions=8)
+    files = glob.glob(f"{p}/cx=0/cy=0/*.parquet")
+    assert len(files) > 1
+    assert read_pages_spatial(spark, p).count() == pages.count()

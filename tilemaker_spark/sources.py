@@ -593,7 +593,8 @@ def read_pages_table(spark: SparkSession, table: str | None = None,
 
 def write_pages_spatial(pages: DataFrame, path: str, level: int = 4,
                         lon_col: str = "lon", lat_col: str = "lat",
-                        fmt: str = "parquet", mode: str = "overwrite") -> None:
+                        fmt: str = "parquet", mode: str = "overwrite",
+                        target_partitions: int | None = None) -> None:
     """Spatially-partitioned pages layout: partition directories by
     (cx, cy) web-mercator tile coordinates at ``level``, rows inside
     each partition z-order-clustered at ``level+8`` for row-group
@@ -628,8 +629,18 @@ def write_pages_spatial(pages: DataFrame, path: str, level: int = 4,
           .withColumn("cy", clamp(lat2tiley_col(F.col(lat_col), level))))
     zkey = zorder_key_col(lon2tilex_col(F.col(lon_col), level + 8),
                           lat2tiley_col(F.col(lat_col), level + 8))
-    (df.repartition("cx", "cy")
-       .sortWithinPartitions("cx", "cy", zkey)
+    # repartitionByRange over (cx, cy, zkey) — NOT repartition(cx, cy),
+    # which would force every row of a cell into ONE task (a dense city
+    # cell at corpus scale = one giant write task). Range partitioning
+    # splits big cells across contiguous z-ordered chunks while
+    # partitionBy still routes rows into per-cell directories, so a hot
+    # cell gets many right-sized files and empty ranges cost nothing.
+    num = target_partitions or \
+        pages.sparkSession.sparkContext.defaultParallelism * 2
+    (df.withColumn("_zkey", zkey)
+       .repartitionByRange(num, "cx", "cy", "_zkey")
+       .sortWithinPartitions("cx", "cy", "_zkey")
+       .drop("_zkey")
        .write.partitionBy("cx", "cy").mode(mode).format(fmt).save(path))
     with open(_os.path.join(path, "_spatial_layout.json"), "w") as f:
         _json.dump({"level": level, "partition_cols": ["cx", "cy"]}, f)
