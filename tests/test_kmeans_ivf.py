@@ -126,3 +126,38 @@ def test_neardup_multiprobe_finds_cross_bucket_pair(spark):
         emb, threshold=0.0, bucket_col="bucket", multiprobe_bits=4).collect()
     keys = [(r.vec_a, r.vec_b) for r in rows_probed]
     assert len(keys) == len(set(keys))
+
+
+# ------------------------------------------- physical IVF layout
+
+def test_ivf_layout_exhaustive_matches_bruteforce(spark, emb, tmp_path):
+    """nprobe = n_clusters opens every list: must equal the exact
+    brute-force top-k for the same query vector."""
+    from tilemaker_spark.operators.similarity import (ivf_layout_topk,
+                                                      write_embeddings_ivf)
+    p = str(tmp_path / "ivf")
+    write_embeddings_ivf(emb, p, n_clusters=4, max_iter=3)
+    probe = emb.filter(F.col("vec_id") == 7).first()
+    got = ivf_layout_topk(spark, p, probe.embedding, k=5, nprobe=4)
+    rows = {(r.vec_id, r.cos_sim) for r in got.collect()}
+    exact = cosine_topk(emb, [7], k=5)
+    want = {(r.vec_id, r.cos_sim) for r in exact.collect()}
+    # brute-force excludes the probe itself; the layout probe ranks it
+    # first (cos=1.0) — compare the non-self neighbor sets
+    rows = {t for t in rows if t[0] != 7}
+    assert want.issuperset(rows) and len(rows) >= 4
+
+
+def test_ivf_layout_probe_prunes_scan(spark, emb, tmp_path):
+    from tilemaker_spark.operators.similarity import (ivf_layout_topk,
+                                                      write_embeddings_ivf)
+    import glob
+    p = str(tmp_path / "ivf2")
+    write_embeddings_ivf(emb, p, n_clusters=4, max_iter=3)
+    assert len(glob.glob(f"{p}/cluster=*")) == 4
+    probe = emb.first()
+    got = ivf_layout_topk(spark, p, probe.embedding, k=3, nprobe=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster" in pf[0] and "PartitionFilters: []" not in pf[0]
+    assert got.count() == 3

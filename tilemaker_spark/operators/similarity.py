@@ -253,3 +253,68 @@ def embedding_dedup_pairs(embeddings: DataFrame,
         "cos_sim", F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 4))
     return (pairs.filter(F.col("cos_sim") >= threshold)
             .select("vec_a", "vec_b", "cos_sim"))
+
+
+# ------------------------------------------- physical IVF layout
+
+def write_embeddings_ivf(embeddings: DataFrame, path: str,
+                         n_clusters: int = 8, max_iter: int = 5,
+                         emb_col: str = "embedding",
+                         mode: str = "overwrite",
+                         target_partitions: int | None = None) -> None:
+    """Physical IVF layout: the corpus written into per-cluster
+    partition DIRECTORIES (coarse k-means quantizer), centroids stored
+    in a ``_ivf_centroids.json`` sidecar.
+
+    ``ivf_topk_kmeans`` prunes the CANDIDATE set but still scans the
+    whole embeddings table to assign clusters; against this layout a
+    probe read prunes the SCAN itself — only the ``nprobe`` nearest
+    inverted-list directories are opened (PartitionFilters), so query
+    IO is O(nprobe/k of the corpus). This is the disk-resident half of
+    the FAISS-IVF design: train once, write once, probe forever.
+    Cluster dirs are range-split by vec_id so a dense list spreads over
+    many right-sized files instead of one giant write task; only the
+    k×d centroid matrix ever reaches the driver.
+    """
+    import json as _json
+    import os as _os
+
+    assigned, cent = kmeans_assign(embeddings, n_clusters, max_iter,
+                                   emb_col, return_centroids=True)
+    num = target_partitions or \
+        embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    (assigned.repartitionByRange(num, "cluster", "vec_id")
+     .sortWithinPartitions("cluster", "vec_id")
+     .write.partitionBy("cluster").mode(mode).parquet(path))
+    with open(_os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        _json.dump({"centroids": cent.tolist()}, f)
+
+
+def ivf_layout_topk(spark, path: str, query_vec, k: int = 5,
+                    nprobe: int = 1, emb_col: str = "embedding") -> DataFrame:
+    """Top-k cosine neighbors of ``query_vec`` against a
+    :func:`write_embeddings_ivf` layout, scanning only the ``nprobe``
+    nearest inverted lists.
+
+    The sidecar centroid matrix (k × d, driver-tiny) picks the probe
+    lists driver-side; the list ids become a literal In-filter on the
+    ``cluster`` partition column (bounded by n_clusters, so an In-list
+    is safe here — unlike probe IDS, which go through a semi-join).
+    With ``nprobe = n_clusters`` this is exhaustive and matches the
+    brute-force oracle exactly.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_ivf_centroids.json")) as f:
+        cent = np.asarray(_json.load(f)["centroids"], dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    scores = q @ cent.T - 0.5 * (cent ** 2).sum(axis=1)
+    lists = [int(c) for c in np.argsort(-scores)[:nprobe]]
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    cand = (spark.read.parquet(path)
+            .filter(F.col("cluster").isin(lists))
+            .withColumn("cos_sim",
+                        F.round(_cosine(qlit, F.col(emb_col)), 4)))
+    return (cand.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+            .select("vec_id", "cos_sim"))
