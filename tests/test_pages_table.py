@@ -158,3 +158,37 @@ def test_spatial_layout_splits_hot_cells(spark, tmp_path):
     files = glob.glob(f"{p}/cx=0/cy=0/*.parquet")
     assert len(files) > 1
     assert read_pages_spatial(spark, p).count() == pages.count()
+
+
+# ----------------------------------- bucketed OSM node-store layout
+
+def test_bucketed_node_resolution_matches_and_skips_exchange(spark, tmp_path):
+    from tilemaker_spark.fixtures import make_nodes_ways
+    from tilemaker_spark.operators.profile import assemble_way_geoms
+    from tilemaker_spark.sources import (resolve_ways_bucketed,
+                                         write_osm_bucketed)
+    nodes, ways = make_nodes_ways(spark)
+    nt, rt, wt = write_osm_bucketed(nodes, ways, str(tmp_path / "osm"),
+                                    buckets=4, suffix="_t1")
+    got = resolve_ways_bucketed(spark, nt, rt, wt)
+    want = assemble_way_geoms(nodes, ways)
+    g = {r.id: (list(r.coords), sorted(r.tags.items())) for r in got.collect()}
+    w = {r.id: (list(r.coords), sorted(r.tags.items())) for r in want.collect()}
+    assert g == w
+    # disable broadcast so the plan shows the at-scale join strategy
+    # (fixture tables are broadcast-sized; planet nodes are not)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # bucket-aligned resolution: sort-merge join with NO shuffle on
+        # ref on either side
+        plan = (resolve_ways_bucketed(spark, nt, rt, wt)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(ref" not in plan
+        # the unbucketed join DOES shuffle on ref — the assertion bites
+        plan_flat = (assemble_way_geoms(nodes, ways)
+                     ._jdf.queryExecution().executedPlan().toString())
+        assert "hashpartitioning(ref" in plan_flat
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

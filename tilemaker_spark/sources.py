@@ -677,3 +677,72 @@ def read_pages_spatial(spark: SparkSession, path: str,
     y0, y1 = cl(lat2tiley_np(maxlat, level)), cl(lat2tiley_np(minlat, level))
     return df.filter((F.col("cx") >= x0) & (F.col("cx") <= x1) &
                      (F.col("cy") >= y0) & (F.col("cy") <= y1))
+
+
+# -------------------------------------- bucketed OSM node-store layout
+
+def write_osm_bucketed(nodes: DataFrame, ways: DataFrame, path: str,
+                       buckets: int = 16, suffix: str = "") -> tuple:
+    """Bucketed node-resolution layout — the Spark-native analog of the
+    reference's sorted_node_store / sorted_way_store
+    (include/sorted_node_store.h, include/sorted_way_store.h: node
+    coords sorted by id for random access during way assembly).
+
+    Three external parquet tables registered in the session catalog:
+    ``osm_nodes_b{suffix}`` (ref=node id, lon, lat) bucketed+sorted by
+    ref; ``osm_way_refs_b{suffix}`` (way_id, pos, ref) — the way→node
+    membership PRE-EXPLODED — bucketed+sorted by ref into the SAME
+    bucket count; ``osm_ways_b{suffix}`` (way_id, tags, refs) for
+    reassembly. Because both join sides share the bucket layout on
+    ``ref``, :func:`resolve_ways_bucketed`'s sort-merge join runs with
+    ZERO exchange on either input — the node-resolution shuffle (the
+    largest in the OSM path: |way refs| ≈ 10× |ways|, nodes ≈ 10⁹ rows
+    planet-scale) is paid once at layout time and amortized across
+    every rebuild, config change, or regional extract that follows.
+    Returns the three table names.
+    """
+    import os as _os
+    nt, rt, wt = (f"osm_nodes_b{suffix}", f"osm_way_refs_b{suffix}",
+                  f"osm_ways_b{suffix}")
+    (nodes.select(F.col("id").alias("ref"), "lon", "lat")
+     .write.bucketBy(buckets, "ref").sortBy("ref")
+     .option("path", _os.path.join(path, "nodes"))
+     .mode("overwrite").format("parquet").saveAsTable(nt))
+    (ways.select(F.col("id").alias("way_id"),
+                 F.posexplode("refs").alias("pos", "ref"))
+     .write.bucketBy(buckets, "ref").sortBy("ref")
+     .option("path", _os.path.join(path, "way_refs"))
+     .mode("overwrite").format("parquet").saveAsTable(rt))
+    (ways.select(F.col("id").alias("way_id"), "tags", "refs")
+     .write.option("path", _os.path.join(path, "ways"))
+     .mode("overwrite").format("parquet").saveAsTable(wt))
+    return nt, rt, wt
+
+
+def resolve_ways_bucketed(spark: SparkSession, nodes_table: str,
+                          refs_table: str, ways_table: str) -> DataFrame:
+    """Way→node resolution (J1) over a :func:`write_osm_bucketed`
+    layout: refs ⋈ nodes is an exchange-free sort-merge join (both
+    sides bucket-aligned on ref), then one groupBy(way_id) reassembles
+    coordinate arrays. Output schema and missing-node semantics are
+    identical to ``profile.assemble_way_geoms`` (ways referencing any
+    missing node are dropped), so downstream profiles are oblivious to
+    which path produced the geometry.
+    """
+    from tilemaker_spark.functions.coords import lat2latp_col
+    refs = spark.read.table(refs_table)
+    node_pos = (spark.read.table(nodes_table)
+                .select("ref", F.col("lon").alias("n_lon"),
+                        lat2latp_col(F.col("lat")).alias("n_latp")))
+    joined = refs.join(node_pos, "ref", "left")
+    agg = joined.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(
+            F.struct("pos", "n_lon", "n_latp"))).alias("pts"),
+        F.max(F.col("n_lon").isNull().cast("int")).alias("has_missing"))
+    coords = F.flatten(F.transform(
+        "pts", lambda p: F.array(p.n_lon, p.n_latp)))
+    ways = spark.read.table(ways_table)
+    return (agg.filter(F.col("has_missing") == 0)
+            .join(ways, "way_id")
+            .select(F.col("way_id").alias("id"), "tags", "refs",
+                    coords.alias("coords")))
