@@ -242,3 +242,23 @@ def test_pmtiles_byte_stable_across_runs(spark, tiles_df, tmp_path):
     sinks.write_pmtiles(tiles_df, p2, {"name": "t"})
     with open(p1, "rb") as f1, open(p2, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_output_bytes_invariant_to_order_partitions(spark, tiles_df, tmp_path):
+    """order_partitions is the driver-memory knob for the ordered
+    stream; the global Hilbert order — and so the archive bytes — must
+    not depend on it."""
+    p1, p2 = str(tmp_path / "op2.pmtiles"), str(tmp_path / "op64.pmtiles")
+    sinks.write_pmtiles(tiles_df, p1, {"name": "t"}, order_partitions=2)
+    sinks.write_pmtiles(tiles_df, p2, {"name": "t"}, order_partitions=64)
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
+    m1, m2 = str(tmp_path / "op2.mbtiles"), str(tmp_path / "op64.mbtiles")
+    n1 = sinks.write_mbtiles(tiles_df, m1, order_partitions=2)
+    n2 = sinks.write_mbtiles(tiles_df, m2, order_partitions=64)
+    assert n1 == n2
+    t1 = sinks.read_mbtiles(spark, m1)
+    t2 = sinks.read_mbtiles(spark, m2)
+    rows1 = {(r.z, r.x, r.y): bytes(r.tile) for r in t1.collect()}
+    rows2 = {(r.z, r.x, r.y): bytes(r.tile) for r in t2.collect()}
+    assert rows1 == rows2

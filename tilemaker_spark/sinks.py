@@ -104,10 +104,28 @@ def with_tileid(tiles: DataFrame) -> DataFrame:
     return tiles.withColumn("tileid", tid("z", "x", "y"))
 
 
+
+
+def _order_partitions(tiles: DataFrame, requested: int | None) -> int:
+    """Partition count for the globally-ordered driver stream: range
+    partitioning + within-partition sort gives total tileid order, and
+    toLocalIterator holds ONE partition at a time — so this count is
+    the driver-memory knob. A fixed 32 meant per-fetch size grew
+    linearly with the corpus; scale with cluster width by default and
+    let huge exports raise it explicitly (target ≤ ~500k tiles per
+    partition). The global order — and therefore the output bytes —
+    is identical at any count."""
+    if requested is not None:
+        return requested
+    sc = tiles.sparkSession.sparkContext
+    return max(32, sc.defaultParallelism * 4)
+
+
 # ------------------------------------------------------------- MBTiles
 
 def write_mbtiles(tiles: DataFrame, path: str, metadata: dict | None = None,
-                  batch: int = 2000) -> int:
+                  batch: int = 2000,
+                  order_partitions: int | None = None) -> int:
     """Export tiles to an MBTiles (sqlite) file; returns tile count.
 
     Schema + insert-or-replace semantics per src/mbtiles.cpp:20-99;
@@ -128,7 +146,9 @@ def write_mbtiles(tiles: DataFrame, path: str, metadata: dict | None = None,
                     (k, v if isinstance(v, str) else json.dumps(v)))
     n = 0
     buf = []
-    ordered = with_tileid(tiles).repartitionByRange(32, "tileid") \
+    ordered = with_tileid(tiles) \
+        .repartitionByRange(_order_partitions(tiles, order_partitions),
+                            "tileid") \
         .sortWithinPartitions("tileid")
     for row in ordered.select("z", "x", "y", "tile").toLocalIterator():
         flipped = (1 << row.z) - 1 - row.y
@@ -313,7 +333,8 @@ def _pm_build_directories(entries):
 
 
 def write_pmtiles(tiles: DataFrame, path: str,
-                  metadata: dict | None = None) -> int:
+                  metadata: dict | None = None,
+                  order_partitions: int | None = None) -> int:
     """Export tiles to a PMTiles v3 archive (clustered, Hilbert order,
     run-length dedup of identical consecutive tiles, leaf directories
     when the root exceeds the spec's 16 KiB initial-fetch budget — a
@@ -330,7 +351,9 @@ def write_pmtiles(tiles: DataFrame, path: str,
     sized, so driver RAM is O(directory) — (sha256 -> offset,len) per
     unique tile plus the entry list — never O(archive). For a parallel
     sink use write_tile_directory or the parquet checkpoints."""
-    ordered = with_tileid(tiles).repartitionByRange(32, "tileid") \
+    ordered = with_tileid(tiles) \
+        .repartitionByRange(_order_partitions(tiles, order_partitions),
+                            "tileid") \
         .sortWithinPartitions("tileid")
     entries = []  # (tileid, offset, length, run_length)
     # sha256 digest -> (offset, length): collision-safe content dedup
