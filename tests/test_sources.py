@@ -184,3 +184,59 @@ def test_wkb_mixed_collection_keeps_first_type(spark):
     r2 = out["mixed_poly"]
     assert r2.geom_type == 3
     assert len(r2.rings) == 1 and len(r2.rings[0]) == 8  # closing pt dropped
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    """S4f write_geoparquet is the inverse of read_wkb_layer: canonical
+    layer rows -> per-partition GeoParquet files (spec `geo` footer
+    metadata, WKB geometry, map attrs) -> scan back to identical
+    canonical rows. Exercises Point/MultiPoint, Line/MultiLine,
+    Polygon+hole, MultiPolygon regrouping by ring orientation."""
+    import glob
+
+    sq = [0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0]          # CCW outer
+    hole = [1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 1.0]        # CW hole
+    tri = [10.0, 10.0, 12.0, 10.0, 11.0, 12.0]             # CCW outer
+    rows = [
+        ("test", "pt", 1, [[3.5, -2.25]], {"k": "v"}),
+        ("test", "mpt", 1, [[0.0, 1.0], [2.0, 3.0]], {}),
+        ("test", "ln", 2, [[0.0, 0.0, 1.0, 1.0, 2.0, 0.0]], {"hw": "y"}),
+        ("test", "mln", 2, [[0.0, 0.0, 1.0, 1.0],
+                            [2.0, 2.0, 3.0, 3.0]], {}),
+        ("test", "poly", 3, [sq, hole], {"name2": "x"}),
+        ("test", "mpoly", 3, [sq, hole, tri], {}),
+    ]
+    df = spark.createDataFrame(rows, sources.LAYER_SCHEMA)
+    out_dir = str(tmp_path / "gp")
+    n = sources.write_geoparquet(df.repartition(3), out_dir)
+    assert n == 6
+
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(out_dir + "/*.parquet"))
+    assert files, "no parquet files written"
+    seen_types = set()
+    for f in files:
+        geo = json.loads(pq.read_schema(f).metadata[b"geo"])
+        assert geo["version"] == "1.0.0"
+        assert geo["primary_column"] == "geometry"
+        gcol = geo["columns"]["geometry"]
+        assert gcol["encoding"] == "WKB"
+        b = gcol["bbox"]
+        assert b[0] <= b[2] and b[1] <= b[3]
+        seen_types.update(gcol["geometry_types"])
+    assert seen_types == {"Point", "MultiPoint", "LineString",
+                          "MultiLineString", "Polygon", "MultiPolygon"}
+
+    back = spark.read.parquet(out_dir)
+    # attrs survive as a real map<string,string> column
+    am = {r.name: dict(r.attrs) for r in back.collect()}
+    assert am["pt"] == {"k": "v"} and am["poly"] == {"name2": "x"}
+    assert am["mpt"] == {}
+
+    out = {r.name: r for r in sources.read_wkb_layer(
+        back.select("name", "geometry"), "test",
+        wkb_col="geometry").collect()}
+    for layer, nm, gt, rings, _ in rows:
+        r = out[nm]
+        assert r.geom_type == gt, nm
+        assert [list(x) for x in r.rings] == rings, nm

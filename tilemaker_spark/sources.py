@@ -282,6 +282,143 @@ def read_wkb_layer(df: DataFrame, layer: str,
                     attrs.alias("attrs")))
 
 
+# ------------------------------------------- GeoParquet write (S4f)
+
+def _encode_wkb(geom_type: int, parts: list) -> tuple:
+    """(wkb_bytes, type_name) — inverse of :func:`_parse_wkb` over the
+    canonical flat-parts layer schema: little-endian ISO WKB
+    (OGC 06-103r4 §8), no Z/M, no SRID.
+
+    Points: one part -> Point, many -> MultiPoint. Lines likewise.
+    Polygons regroup the flat ring list by the engine's orientation
+    convention (_orient_rings: outer rings positive area, holes
+    negative) — a positive ring opens a new polygon, negatives attach
+    as its holes; rings are re-closed per spec (the canonical form
+    drops the closing point)."""
+    import struct as _s
+
+    def point(xy):
+        return b"\x01" + _s.pack("<Idd", 1, xy[0], xy[1])
+
+    def linestring(flat):
+        n = len(flat) // 2
+        return b"\x01" + _s.pack("<II", 2, n) + _s.pack(f"<{2 * n}d", *flat)
+
+    def ring_bytes(flat):
+        closed = list(flat)
+        if len(closed) >= 4 and (closed[0], closed[1]) != (closed[-2],
+                                                           closed[-1]):
+            closed += [closed[0], closed[1]]
+        n = len(closed) // 2
+        return _s.pack("<I", n) + _s.pack(f"<{2 * n}d", *closed)
+
+    if geom_type == G.GEOM_POINT:
+        if len(parts) == 1:
+            return point(parts[0]), "Point"
+        body = b"".join(point(p) for p in parts)
+        return (b"\x01" + _s.pack("<II", 4, len(parts)) + body,
+                "MultiPoint")
+    if geom_type == G.GEOM_LINE:
+        if len(parts) == 1:
+            return linestring(parts[0]), "LineString"
+        body = b"".join(linestring(p) for p in parts)
+        return (b"\x01" + _s.pack("<II", 5, len(parts)) + body,
+                "MultiLineString")
+    polys = []
+    for flat in parts:
+        r = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+        if G.ring_area(r) >= 0 or not polys:
+            polys.append([flat])
+        else:
+            polys[-1].append(flat)
+
+    def polygon(rs):
+        return (b"\x01" + _s.pack("<II", 3, len(rs))
+                + b"".join(ring_bytes(r) for r in rs))
+
+    if len(polys) == 1:
+        return polygon(polys[0]), "Polygon"
+    return (b"\x01" + _s.pack("<II", 6, len(polys))
+            + b"".join(polygon(p) for p in polys), "MultiPolygon")
+
+
+def write_geoparquet(layer_df: DataFrame, path: str,
+                     geometry_name: str = "geometry") -> int:
+    """GeoParquet sink — the interchange writer paired with
+    read_wkb_layer (GeoParquet/Sedona tables carry WKB geometry).
+
+    Distributed shape: every Spark partition writes its own
+    footer-complete parquet file via pyarrow (mapInPandas; no
+    single-writer choke — the write_tile_directory pattern), each file
+    carrying the OGC GeoParquet ``geo`` key-value footer metadata
+    (version 1.0.0: primary_column, WKB encoding, file-local bbox and
+    geometry_types). A directory of per-task GeoParquet files is the
+    standard cluster/object-store layout; readers union them. Each
+    partition is buffered as one Arrow table before writing (one row
+    group) — partitions are already sized to executor memory by the
+    engine's explicit repartitioning, and the footer bbox cannot be
+    known before the partition is exhausted.
+
+    File schema: layer string, name string, attrs map<string,string>,
+    ``geometry_name`` binary (WKB). Returns total features written.
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    src = layer_df.select("layer", "name", "geom_type", "rings",
+                          F.to_json("attrs").alias("_attrs_json"))
+
+    def write_part(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        layers, names, attrs, wkbs, gtypes = [], [], [], [], set()
+        bbox = [np.inf, np.inf, -np.inf, -np.inf]
+        for pdf in batches:
+            for gt, rings in zip(pdf["geom_type"], pdf["rings"]):
+                parts = [list(r) for r in rings]
+                wkb, tname = _encode_wkb(int(gt), parts)
+                wkbs.append(wkb)
+                gtypes.add(tname)
+                for flat in parts:
+                    if not flat:
+                        continue
+                    xs, ys = flat[0::2], flat[1::2]
+                    bbox[0] = min(bbox[0], min(xs))
+                    bbox[1] = min(bbox[1], min(ys))
+                    bbox[2] = max(bbox[2], max(xs))
+                    bbox[3] = max(bbox[3], max(ys))
+            layers.extend(pdf["layer"])
+            names.extend(pdf["name"])
+            attrs.extend(_json.loads(a) if a else {}
+                         for a in pdf["_attrs_json"])
+        if wkbs:
+            geo = {"version": "1.0.0",
+                   "primary_column": geometry_name,
+                   "columns": {geometry_name: {
+                       "encoding": "WKB",
+                       "geometry_types": sorted(gtypes),
+                       "bbox": bbox,
+                       "crs": None}}}  # null = OGC:CRS84 per spec
+            table = pa.table(
+                {"layer": pa.array(layers, pa.string()),
+                 "name": pa.array(names, pa.string()),
+                 "attrs": pa.array(attrs,
+                                   pa.map_(pa.string(), pa.string())),
+                 geometry_name: pa.array(wkbs, pa.binary())})
+            table = table.replace_schema_metadata(
+                {"geo": _json.dumps(geo)})
+            pq.write_table(table, _os.path.join(
+                path, f"part-{pid:05d}.parquet"))
+        yield pd.DataFrame({"rows": [len(wkbs)]})
+
+    counts = src.mapInPandas(write_part, "rows long")
+    return int(counts.agg(F.sum("rows")).collect()[0][0] or 0)
+
+
 # ----------------------------------------------------------- GeoJSON
 
 _GJ_TYPE_MAP = {"Point": G.GEOM_POINT, "LineString": G.GEOM_LINE,
