@@ -240,3 +240,62 @@ def test_geoparquet_roundtrip(spark, tmp_path):
         r = out[nm]
         assert r.geom_type == gt, nm
         assert [list(x) for x in r.rings] == rings, nm
+
+
+# -------------------- WKB encode/parse property roundtrip (kernel-only)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_coord = st.floats(min_value=-180.0, max_value=180.0,
+                   allow_nan=False, allow_infinity=False, width=64)
+
+
+def _square(cx, cy, half, ccw=True):
+    pts = [(cx - half, cy - half), (cx + half, cy - half),
+           (cx + half, cy + half), (cx - half, cy + half)]
+    if not ccw:
+        pts = pts[::-1]
+    return [v for p in pts for v in p]
+
+
+@st.composite
+def _feature(draw):
+    gt = draw(st.sampled_from([1, 2, 3]))
+    if gt == 1:
+        n = draw(st.integers(1, 5))
+        return gt, [[draw(_coord), draw(_coord)] for _ in range(n)]
+    if gt == 2:
+        n = draw(st.integers(1, 4))
+        parts = []
+        for _ in range(n):
+            m = draw(st.integers(2, 6))
+            parts.append([draw(_coord) for _ in range(2 * m)])
+        return gt, parts
+    # polygons: disjoint CCW outer squares on a coarse grid, each with
+    # an optional strictly-contained CW hole — simple rings by
+    # construction so _orient_rings neither dissolves nor reverses
+    cells = draw(st.lists(st.tuples(st.integers(-5, 5), st.integers(-5, 5)),
+                          min_size=1, max_size=4, unique=True))
+    parts = []
+    for (i, j) in cells:
+        parts.append(_square(i * 10.0, j * 10.0, 4.0, ccw=True))
+        if draw(st.booleans()):
+            parts.append(_square(i * 10.0, j * 10.0, 1.0, ccw=False))
+    return gt, parts
+
+
+@given(_feature())
+@settings(max_examples=80, deadline=None)
+def test_wkb_encode_parse_roundtrip_property(feat):
+    """_parse_wkb(_encode_wkb(...)) is the identity on canonical
+    flat-parts features (after the scan path's _orient_rings): float
+    coordinates survive bit-exactly (pure struct packing, no
+    arithmetic), Multi* regrouping preserves part order, polygon ring
+    closure added by the encoder is dropped again by orientation."""
+    gt, parts = feat
+    wkb, _name = sources._encode_wkb(gt, parts)
+    gt2, parsed = sources._parse_wkb(wkb)
+    assert gt2 == gt
+    back = sources._orient_rings(gt2, parsed) if gt == 3 else parsed
+    assert [list(p) for p in back] == [list(p) for p in parts]
