@@ -93,3 +93,23 @@ def test_fast_merge_remap_shares_dictionary():
     expected = _flatten(mvt.decode_tile(mvt.merge_tiles(blobs)))
     got = _flatten({"pts": merged})
     assert got == expected
+
+
+def test_corrupt_wire_type_raises_not_hangs():
+    """A deprecated-group wire type (3) anywhere in the byte stream must
+    raise, not spin: _skip/_remap_feature_tags used to return pos
+    unchanged for wire 3/4/6/7, turning a single corrupt byte in a
+    FOREIGN tileset (merge-read, tile server) into an infinite loop."""
+    import pytest
+
+    lb = mvt.LayerBuilder("L")
+    lb.add_feature(mvt.GEOM_POINT, mvt.encode_point_geometry([(1, 1)]),
+                   attrs=[("a", "x")], feature_id=1)
+    good = mvt.encode_tile([lb])
+    # layer message with a wire-type-3 field key inside (field 9, wire 3)
+    bad_layer = b"\x4b" + b"\x00" * 4
+    bad_tile = b"\x1a" + bytes([len(bad_layer)]) + bad_layer
+    with pytest.raises(ValueError, match="wire type"):
+        mvt.merge_tiles_fast([good, bad_tile])
+    with pytest.raises(ValueError, match="wire type"):
+        mvt.decode_tile(bad_tile)

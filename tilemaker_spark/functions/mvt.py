@@ -415,6 +415,8 @@ def _remap_feature_tags(fbuf: bytes, kmapb: list, vmapb: list) -> bytes:
             pos += 4
         elif wire == 1:
             pos += 8
+        else:  # wire 3/4/6/7: not valid protobuf here — fail, don't spin
+            raise ValueError(f"unsupported protobuf wire type {wire}")
     return fbuf  # feature has no tags field: verbatim
 
 
@@ -569,6 +571,12 @@ def _skip(buf, pos, wire):
         pos += 4
     elif wire == 1:
         pos += 8
+    else:
+        # wire 3/4 (deprecated groups) / 6/7 (reserved) never occur in
+        # MVT; returning pos unchanged would make every `while pos < n`
+        # decode loop spin forever on a corrupt byte — fail fast instead
+        # (merge-read and the tile server decode FOREIGN tilesets).
+        raise ValueError(f"unsupported protobuf wire type {wire}")
     return pos
 
 
