@@ -99,3 +99,17 @@ def test_salted_shuffle_join_branch(spark, feature_tiles, cfg, monkeypatch):
     salted = _decode_all(
         TA.assemble_tiles_salted(feature_tiles, cfg).collect())
     assert plain == salted
+
+
+def test_salted_rerun_byte_identical(spark, cfg, feature_tiles):
+    """Two runs of the salted path must emit byte-identical tiles: the
+    hot merge sorts partials by content before merging, so shuffle
+    arrival order (nondeterministic — the merge sort keys on (z,x,y)
+    only) cannot leak into the output bytes."""
+    def run():
+        df = assemble_tiles_salted(feature_tiles, cfg)
+        rows = {(r.z, r.x, r.y): bytes(r.tile) for r in df.collect()}
+        for p in getattr(df, "_internal_persists", []):
+            p.unpersist()
+        return rows
+    assert run() == run()

@@ -614,6 +614,11 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
                         elif compress_mode == "deflate":
                             p = _zlib.decompress(p)
                         raw.append(p)
+                    # partial arrival order is shuffle-dependent (the
+                    # sort above keys on (z,x,y) only — TILE_SCHEMA has
+                    # no salt column); sort by content so a rerun emits
+                    # byte-identical hot tiles
+                    raw.sort()
                     t = mvt.compress_tile(mvt.merge_tiles_fast(raw),
                                           compress_mode)
                 zs.append(np.int32(z))
