@@ -396,13 +396,16 @@ def write_geoparquet(layer_df: DataFrame, path: str,
             attrs.extend(_json.loads(a) if a else {}
                          for a in pdf["_attrs_json"])
         if wkbs:
+            col_meta = {"encoding": "WKB",
+                        "geometry_types": sorted(gtypes),
+                        "crs": None}  # null = OGC:CRS84 per spec
+            if bbox[0] <= bbox[2]:  # bbox is optional per spec; an
+                # all-empty-parts partition would otherwise emit
+                # JSON-invalid Infinity values
+                col_meta["bbox"] = bbox
             geo = {"version": "1.0.0",
                    "primary_column": geometry_name,
-                   "columns": {geometry_name: {
-                       "encoding": "WKB",
-                       "geometry_types": sorted(gtypes),
-                       "bbox": bbox,
-                       "crs": None}}}  # null = OGC:CRS84 per spec
+                   "columns": {geometry_name: col_meta}}
             table = pa.table(
                 {"layer": pa.array(layers, pa.string()),
                  "name": pa.array(names, pa.string()),
