@@ -65,3 +65,10 @@ def test_cli_pbf_with_process_profile(spark, tmp_path):
                   "--quiet", "--force"], spark=spark)
     assert m["written"] > 0
     assert os.path.exists(os.path.join(out, "metadata.json"))
+
+
+def test_cli_table_plus_input_conflict(tmp_path):
+    """--table alongside a file input would be silently dropped (the
+    file wins the pages slot) — the parser must refuse instead."""
+    with pytest.raises(SystemExit):
+        cli.main([str(tmp_path), "--table", "cat.db.pages", "--quiet"])

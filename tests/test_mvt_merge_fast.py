@@ -113,3 +113,23 @@ def test_corrupt_wire_type_raises_not_hangs():
         mvt.merge_tiles_fast([good, bad_tile])
     with pytest.raises(ValueError, match="wire type"):
         mvt.decode_tile(bad_tile)
+
+
+def test_remap_split_tags_chunks():
+    """protobuf permits a packed repeated field split across several
+    chunks: _remap_feature_tags must remap EVERY tags chunk, not just
+    the first — a stale second chunk would index the merged layer's
+    shifted dictionary (silent attr corruption)."""
+    from tilemaker_spark.functions.mvt import _remap_feature_tags, _varint
+
+    feat = (b"\x08\x2a"                       # field 1: id = 42
+            + b"\x12\x02" + _varint(0) + _varint(0)   # tags chunk 1
+            + b"\x18\x01"                     # field 3: type = POINT
+            + b"\x12\x02" + _varint(1) + _varint(1))  # tags chunk 2
+    kmapb = [_varint(5), _varint(6)]
+    vmapb = [_varint(7), _varint(8)]
+    out = _remap_feature_tags(feat, kmapb, vmapb)
+    assert out == (b"\x08\x2a"
+                   + b"\x12\x02" + _varint(5) + _varint(7)
+                   + b"\x18\x01"
+                   + b"\x12\x02" + _varint(6) + _varint(8))

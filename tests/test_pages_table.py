@@ -192,3 +192,32 @@ def test_bucketed_node_resolution_matches_and_skips_exchange(spark, tmp_path):
         assert "hashpartitioning(ref" in plan_flat
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_spatial_write_null_coords_geocode_fallback(spark, tmp_path):
+    """Rows carrying NULL lon/lat (ungeocoded pages in a table that HAS
+    the columns) must be geo-derived per row, never clamped into the
+    corner cell (n-1, n-1) by null-skipping greatest/least."""
+    from tilemaker_spark.functions.coords import lat2tiley_np, lon2tilex_np
+    from tilemaker_spark.operators.geocode import geocode_pages
+    from tilemaker_spark.sources import read_pages_spatial, write_pages_spatial
+
+    pages = pages_from_documents(spark, SF)
+    geo = geocode_pages(pages)
+    holed = (geo
+             .withColumn("lon", F.when(F.col("doc_id") % 7 == 0,
+                                       F.lit(None)).otherwise(F.col("lon")))
+             .withColumn("lat", F.when(F.col("doc_id") % 7 == 0,
+                                       F.lit(None)).otherwise(F.col("lat"))))
+    p = str(tmp_path / "holes")
+    write_pages_spatial(holed, p, level=3)
+
+    back = read_pages_spatial(spark, p)
+    assert back.count() == pages.count()
+    # every previously-null row sits in its geocode-derived cell
+    nulled = back.filter(F.col("doc_id") % 7 == 0).select("doc_id", "cx", "cy")
+    ref = {r.doc_id: (int(lon2tilex_np(r.lon, 3)), int(lat2tiley_np(r.lat, 3)))
+           for r in geo.filter(F.col("doc_id") % 7 == 0)
+           .select("doc_id", "lon", "lat").collect()}
+    for r in nulled.collect():
+        assert (r.cx, r.cy) == ref[r.doc_id], r.doc_id

@@ -113,3 +113,12 @@ def test_salted_rerun_byte_identical(spark, cfg, feature_tiles):
             p.unpersist()
         return rows
     assert run() == run()
+
+
+def test_salted_negative_feature_ids(spark, feature_tiles, cfg):
+    """xxhash64-derived feature ids are negative half the time; the
+    salted path (pmod fan-out) must still match the plain assembly."""
+    ft = feature_tiles.withColumn("feature_id", F.col("feature_id") - 150)
+    plain = _decode_all(assemble_tiles(ft, cfg).collect())
+    salted = _decode_all(assemble_tiles_salted(ft, cfg).collect())
+    assert salted == plain

@@ -299,3 +299,20 @@ def test_wkb_encode_parse_roundtrip_property(feat):
     assert gt2 == gt
     back = sources._orient_rings(gt2, parsed) if gt == 3 else parsed
     assert [list(p) for p in back] == [list(p) for p in parts]
+
+
+def test_geoparquet_rerun_clears_stale_parts(spark, tmp_path):
+    """Overwrite semantics: a rerun into the same directory must not
+    leave part files from a previous (larger) run for readers to union
+    with the new data."""
+    rows6 = [("test", f"pt{i}", 1, [[float(i), 0.0]], {})
+             for i in range(6)]
+    df6 = spark.createDataFrame(rows6, sources.LAYER_SCHEMA)
+    out_dir = str(tmp_path / "gp_rerun")
+    assert sources.write_geoparquet(df6, out_dir) == 6
+
+    df1 = spark.createDataFrame(rows6[:1], sources.LAYER_SCHEMA)
+    assert sources.write_geoparquet(df1, out_dir) == 1
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 1
+    assert back.first().name == "pt0"

@@ -397,3 +397,18 @@ def test_streaming_dedup_ledger_conflict_fails_fast(spark, tmp_path):
     with pytest.raises(Exception, match="ledger conflict"):
         q.awaitTermination(120)
         raise AssertionError("stream drained without raising")
+
+
+def test_batch_fingerprint_is_content_sensitive(spark):
+    """The checkpoint-wipe replay guard hashes the TEXT, not its
+    length: a re-crawl that regenerates same-length records under the
+    same doc_ids must read as new data, not a 'true replay'."""
+    from tilemaker_spark.streaming.dedup import _batch_fingerprint
+
+    a = spark.createDataFrame([(1, "aaaa"), (2, "bbbb")],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(1, "aaab"), (2, "bbbc")],
+                              "doc_id long, text string")
+    assert _batch_fingerprint(a) != _batch_fingerprint(b)
+    assert _batch_fingerprint(a) == _batch_fingerprint(
+        a.orderBy(F.desc("doc_id")))

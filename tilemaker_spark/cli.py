@@ -86,6 +86,11 @@ def main(argv=None, spark=None) -> dict:
     inputs = list(args.input) + list(args.input_opt)
     if not inputs and not args.table:
         build_parser().error("at least one input (or --table) is required")
+    if inputs and args.table:
+        # file inputs win the `pages` slot, so a --table here would be
+        # silently dropped — refuse rather than tile the wrong source
+        build_parser().error("--table cannot be combined with file "
+                             "inputs; run them as separate invocations")
 
     def say(msg):
         if not args.quiet:

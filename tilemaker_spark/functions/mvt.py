@@ -391,7 +391,10 @@ def _remap_feature_tags(fbuf: bytes, kmapb: list, vmapb: list) -> bytes:
                         shift += 7
                 parts.append(vmapb[v])
             tb = b"".join(parts)
-            return fbuf[:start] + b"\x12" + _varint(len(tb)) + tb + fbuf[end:]
+            # protobuf allows a packed repeated field split across
+            # several chunks — remap the tail too, not just the first
+            return (fbuf[:start] + b"\x12" + _varint(len(tb)) + tb +
+                    _remap_feature_tags(fbuf[end:], kmapb, vmapb))
         # skip a non-tags field inline
         if wire == 0:
             while fbuf[pos] & 0x80:

@@ -568,7 +568,11 @@ def assemble_tiles_salted(feature_tiles, config: EngineConfig,
                    F.ceil(F.col("_hot_n") / F.lit(threshold)).cast("int")))
     salted = (joined.withColumn(
         "salt", F.when(F.col("_hot_n").isNotNull(),
-                       (F.col("feature_id") % fan).cast("int"))
+                       # pmod, not %: xxhash64-derived feature ids are
+                       # negative half the time and Spark's % keeps the
+                       # sign — salts would span -(fan-1)..fan-1, double
+                       # the documented _SALT_FANOUT_CAP fan-in bound
+                       F.pmod(F.col("feature_id"), fan).cast("int"))
         .otherwise(F.lit(0))).drop("_hot_n"))
 
     cols = ["z", "x", "y", "salt", "feature_id", "layer", "geom_type",

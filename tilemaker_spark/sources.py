@@ -362,12 +362,23 @@ def write_geoparquet(layer_df: DataFrame, path: str,
     File schema: layer string, name string, attrs map<string,string>,
     ``geometry_name`` binary (WKB). Returns total features written.
     """
+    import glob as _glob
     import json as _json
     import os as _os
 
     _os.makedirs(path, exist_ok=True)
+    # overwrite semantics, like every Spark .mode("overwrite") sink: a
+    # rerun with fewer partitions must not leave stale part files that
+    # readers would union with the new data
+    for stale in _glob.glob(_os.path.join(path, "part-*.parquet")):
+        _os.remove(stale)
     src = layer_df.select("layer", "name", "geom_type", "rings",
                           F.to_json("attrs").alias("_attrs_json"))
+    # explicit count before the CPU-bound Python encode stage — AQE
+    # byte-based coalescing would otherwise collapse a post-shuffle
+    # input to a handful of giant single-row-group files
+    sess = layer_df.sparkSession
+    src = src.repartition(sess.sparkContext.defaultParallelism * 2)
 
     def write_part(batches):
         import pyarrow as pa
@@ -762,8 +773,24 @@ def write_pages_spatial(pages: DataFrame, path: str, level: int = 4,
     if lon_col not in pages.columns or lat_col not in pages.columns:
         from tilemaker_spark.operators.geocode import geocode_pages
         pages = geocode_pages(pages)
+    elif "doc_id" in pages.columns:
+        # per-ROW fallback too: ungeocoded pages carry NULL lon/lat, and
+        # greatest/least skip nulls — unguarded they'd clamp into the
+        # corner cell (n-1, n-1), silently misplaced
+        from tilemaker_spark.operators.geocode import derive_lat, derive_lon
+        did = F.col("doc_id")
+        pages = (pages
+                 .withColumn(lon_col, F.coalesce(F.col(lon_col),
+                                                 derive_lon(did)))
+                 .withColumn(lat_col, F.coalesce(F.col(lat_col),
+                                                 derive_lat(did))))
     n = 1 << level
-    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c))  # noqa: E731
+    # null-preserving clamp: any remaining null coordinate yields NULL
+    # cx/cy (the
+    # visible __HIVE_DEFAULT_PARTITION__ directory), never a corner cell
+    clamp = lambda c: F.when(  # noqa: E731
+        c.isNull(), F.lit(None)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit(n - 1), c)))
     df = (pages
           .withColumn("cx", clamp(lon2tilex_col(F.col(lon_col), level)))
           .withColumn("cy", clamp(lat2tiley_col(F.col(lat_col), level))))

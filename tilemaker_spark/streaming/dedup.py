@@ -67,7 +67,9 @@ def _commit(workdir: str, batch_id: int, fingerprint: str) -> None:
 
 def _batch_fingerprint(batch_df: DataFrame) -> str:
     """Order-independent content identity of a micro-batch: row count
-    plus a commutative crc32 sum over (doc_id, len(text)). Cheap (one
+    plus a commutative crc32 sum over (doc_id, text) — the TEXT itself,
+    not its length, so a re-crawl that regenerates same-length records
+    under reused doc_ids still reads as new data. Cheap (one
     column-pruned agg) and stable across replays of the same files —
     used to distinguish a TRUE replay of a committed batch_id from a
     checkpoint-wipe id collision (batch ids restart at 0 when the
@@ -78,7 +80,7 @@ def _batch_fingerprint(batch_df: DataFrame) -> str:
         F.count("*").alias("n"),
         F.sum(F.crc32(F.concat_ws(
             ":", F.col("doc_id").cast("string"),
-            F.length("text").cast("string")))).alias("s")).first()
+            F.col("text")))).alias("s")).first()
     return f"{r['n']}:{r['s']}"
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import calendar
 import time
 import urllib.request
 
@@ -63,11 +64,13 @@ def main() -> None:
         sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
         if not sub:
             continue
-        t_sub = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S"))
+        # REST timestamps are GMT ("...000GMT"): timegm, not mktime, or the
+        # second-run stage filter shifts by the host UTC offset
+        t_sub = calendar.timegm(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S"))
         if t_sub < t0 - 1:
             continue
         comp = st.get("completionTime")
-        t_comp = time.mktime(time.strptime(comp[:19], "%Y-%m-%dT%H:%M:%S"))
+        t_comp = calendar.timegm(time.strptime(comp[:19], "%Y-%m-%dT%H:%M:%S"))
         # task-time quantiles for skew
         q = {}
         try:
