@@ -124,7 +124,10 @@ def fill_covered_tiles(tiles: set) -> set:
     """
     filled = set(tiles)
     tile_list = sorted(tiles)  # sorts by x then y, same as reference compare
-    prev_x, prev_y = 0, -2
+    # prev_x=None: the reference's prevY = (uint32)-2 is a huge no-fill
+    # sentinel on the first iteration; a signed -2 here would spuriously
+    # fill from y=-1 for the first tile of column x=0
+    prev_x, prev_y = None, 0
     for tx, ty in tile_list:
         if tx == prev_x:
             for fy in range(prev_y + 1, ty):

@@ -359,8 +359,11 @@ def polygon_overlay(groups: list, mode: str = "union") -> list:
     'intersection' (region covered by ALL groups).
     Returns the flattened ring list of the result (outers positive,
     holes negative, holes after their outer)."""
+    n_in = len(groups)
     groups = [[np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in g]
-              for g in groups if g]
+              for g in groups if g and any(len(r) for r in g)]
+    if mode == "intersection" and len(groups) < n_in:
+        return []  # ALL-of semantics: an empty operand empties the result
     if not groups:
         return []
     eps = _bbox_eps(groups)

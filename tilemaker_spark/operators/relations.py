@@ -56,9 +56,13 @@ def find_in_relation(entities: DataFrame, relations: DataFrame,
     er = entity_relations(relations).filter(F.col("mtype") == mtype)
     joined = entities.join(
         er, entities[entity_id] == er.ref, "left")
+    # collect_list skips NULL elements but keeps a struct OF nulls —
+    # gate on the join key so no-parent entities get [] rather than a
+    # phantom [Row(null, null, null)]
+    parent = F.when(F.col("rel_id").isNotNull(),
+                    F.struct("rel_id", "role", "rel_tags"))
     return (joined.groupBy(entity_id)
-            .agg(F.collect_list(F.struct("rel_id", "role", "rel_tags"))
-                 .alias("parent_relations")))
+            .agg(F.collect_list(parent).alias("parent_relations")))
 
 
 def flatten_relation_members(relations: DataFrame,

@@ -50,6 +50,8 @@ def polygon_cells(polygons: DataFrame, zoom: int = SPATIAL_INDEX_ZOOM,
     (lon, latp) so we project inside the UDF.
     """
 
+    from tilemaker_spark.operators.tiling import LARGE_BBOX_TILE_CAP
+
     @pandas_udf("array<array<long>>")
     def cover(rings: pd.Series) -> pd.Series:
         out = []
@@ -63,8 +65,20 @@ def polygon_cells(polygons: DataFrame, zoom: int = SPATIAL_INDEX_ZOOM,
             tiles, bbox = G.cover_geometry(G.GEOM_POLYGON, parts_np, zoom)
             if bbox is not None:
                 minx, miny, maxx, maxy = bbox
-                tiles = [(x, y) for x in range(minx, maxx + 1)
-                         for y in range(miny, maxy + 1)]
+                if (maxx - minx + 1) * (maxy - miny + 1) \
+                        <= LARGE_BBOX_TILE_CAP:
+                    tiles = [(x, y) for x in range(minx, maxx + 1)
+                             for y in range(miny, maxy + 1)]
+                else:
+                    # same guard as tiling._cover_tiles: a fat bbox must
+                    # not materialize millions of cells in the UDF —
+                    # the exact filled cover is bounded by polygon area
+                    # (callers route even-bigger polygons to a bbox
+                    # join instead of cells)
+                    tiles = set()
+                    for outer, _ in G.iter_polygons(parts_np):
+                        tiles |= G.fill_covered_tiles(
+                            G.supercover_tiles(outer, zoom))
             out.append([[t[0], t[1]] for t in sorted(tiles)])
         return pd.Series(out)
 

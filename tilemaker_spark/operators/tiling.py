@@ -92,8 +92,12 @@ def cover_explode(features: DataFrame, zoom: int) -> DataFrame:
     Output columns: all feature columns + (z, x, y). Point features are
     routed through the codegen path; others through the cover pUDF.
     """
-    pts = features.filter(F.col("geom_type") == 1)
-    other = features.filter(F.col("geom_type") != 1)
+    # the scalar fast path reads geom[0][...] only — multi-part points
+    # (GeoJSON/WKB MultiPoint) must go through the generic cover UDF or
+    # every part after the first loses its tile
+    pts = features.filter((F.col("geom_type") == 1) & (F.size("geom") <= 1))
+    other = features.filter((F.col("geom_type") != 1)
+                            | (F.size("geom") > 1))
 
     out_pts = point_tiles(pts, zoom)
 
@@ -137,7 +141,23 @@ def cover_clip_explode(features: DataFrame, minzoom: int, basezoom: int,
     """
     from tilemaker_spark.functions.coords import TileBbox
 
-    pts = point_tiles(features.filter(F.col("geom_type") == 1), basezoom)
+    pts = point_tiles(
+        features.filter((F.col("geom_type") == 1)
+                        & (F.size("geom") <= 1)), basezoom)
+    # multi-part points: generic cover (every part gets its tile) +
+    # rollup, geom untouched — assembly's point encoder clips per part,
+    # and the quadtree descent below must never see a point geometry
+    mpts = features.filter((F.col("geom_type") == 1)
+                           & (F.size("geom") > 1))
+    cover = _cover_udf(basezoom)
+    mcov = mpts.withColumn("_tiles", cover(F.col("geom_type"),
+                                           F.col("geom")))
+    mpt_tiles = (mcov.select("*", F.explode("_tiles").alias("_t"))
+                 .withColumn("z", F.lit(basezoom).cast("int"))
+                 .withColumn("x", F.element_at("_t", 1))
+                 .withColumn("y", F.element_at("_t", 2))
+                 .drop("_tiles", "_t"))
+    pts = pts.unionByName(mpt_tiles)
     pts = ancestor_rollup(pts, minzoom, basezoom)
 
     other = features.filter(F.col("geom_type") != 1)
@@ -328,6 +348,47 @@ def apply_feature_limit(feature_tiles: DataFrame, limit: int,
             .withColumn("_rn", F.row_number().over(w))
             .filter((F.col("z") >= limit_below) | (F.col("_rn") <= limit))
             .drop("_rn"))
+
+
+def apply_feature_limits(feature_tiles: DataFrame, config) -> DataFrame:
+    """Config-aware O2 pre-limit: a guaranteed SUPERSET of assembly's
+    exact keep rule (tile_assembly._batch_prepare), applied before the
+    assembly shuffle to bound hot groups.
+
+    Differences from :func:`apply_feature_limit` (the standalone
+    fixed-direction operator) that matter for correctness:
+
+    * per-layer ``feature_limit`` / ``feature_limit_below`` — a layer
+      with no limit is never pruned, and a layer whose ``below`` zoom is
+      lower than another's is not over-pruned by the max;
+    * draw order matches assembly: ascending ``z_order`` unless the
+      layer sets ``z_order_ascending=False`` (pruning the other end
+      would ship the wrong features);
+    * ``dense_rank`` over (draw key, feature_id) so duplicate copies of
+      one feature (deduped later by assembly) cannot consume rank slots
+      belonging to distinct features.
+    """
+    limits = {n: (lc.feature_limit, lc.feature_limit_below)
+              for n, lc in config.layers.items() if lc.feature_limit > 0}
+    if not limits:
+        return feature_tiles
+    desc = [n for n, lc in config.layers.items()
+            if not lc.z_order_ascending]
+    zo = F.col("z_order")
+    key = (F.when(F.col("layer").isin(desc), -zo).otherwise(zo)
+           if desc else zo)
+    lim = F.lit(None).cast("long")
+    below = F.lit(None).cast("long")
+    for name, (lval, bval) in limits.items():
+        lim = F.when(F.col("layer") == name, F.lit(lval)).otherwise(lim)
+        below = F.when(F.col("layer") == name, F.lit(bval)).otherwise(below)
+    w = Window.partitionBy("z", "x", "y", "layer").orderBy(
+        key.asc(), F.col("feature_id").asc())
+    return (feature_tiles
+            .withColumn("_rk", F.dense_rank().over(w))
+            .filter(lim.isNull() | (F.col("z") >= below)
+                    | (F.col("_rk") <= lim))
+            .drop("_rk"))
 
 
 def hot_tile_salt(feature_tiles: DataFrame, threshold: int, salt: int) -> DataFrame:

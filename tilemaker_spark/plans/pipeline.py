@@ -27,7 +27,7 @@ from tilemaker_spark.operators.tile_assembly import (
 )
 from tilemaker_spark.operators.tiling import (
     ancestor_rollup,
-    apply_feature_limit,
+    apply_feature_limits,
     bbox_tile_filter,
     cover_explode,
     zoom_gates,
@@ -243,12 +243,12 @@ class TilePipeline:
         # filter; lands before the assembly shuffle so out-of-box tiles
         # never shuffle (no-op for the world bbox)
         ft = bbox_tile_filter(ft, cfg.bounding_box)
-        # O2 pre-limit bounds hot groups before the assembly shuffle
-        max_limit = max((lc.feature_limit for lc in cfg.layers.values()
-                         if lc.feature_limit > 0), default=0)
-        max_below = max((lc.feature_limit_below for lc in cfg.layers.values()), default=0)
-        if max_limit:
-            ft = apply_feature_limit(ft, max_limit, max_below)
+        # O2 pre-limit bounds hot groups before the assembly shuffle —
+        # config-aware (per-layer limit/below, assembly's draw order) so
+        # it prunes a strict superset of what assembly keeps; the old
+        # max-across-layers apply_feature_limit dropped rows from
+        # unlimited layers and ranked the wrong end of ascending layers
+        ft = apply_feature_limits(ft, cfg)
 
         # Stage 3 — per-tile assembly -> tiles (salted two-phase when the
         # config enables hot-tile salting: city-center skew defense).
