@@ -264,21 +264,40 @@ def _spawn_worker(cpus: int, task_cpus: int, pages: int):
         stderr=subprocess.DEVNULL, text=True, bufsize=1)
 
 
+# Per-wait deadline on worker output: a wedged Spark stage (shared-VM
+# contention, deadlocked shuffle) must fail the bench loudly, not hang
+# the unattended session forever (the pre-worker protocol had
+# subprocess.run(timeout=3600); keep that bound).
+_WORKER_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_WORKER_TIMEOUT", "3600"))
+
+
+def _worker_read(p, match, what):
+    import threading
+    timer = threading.Timer(_WORKER_TIMEOUT_S, p.kill)
+    timer.start()
+    try:
+        for line in p.stdout:
+            got = match(line.strip())
+            if got is not None:
+                return got
+    finally:
+        timer.cancel()
+    raise RuntimeError(
+        f"scaling worker {what} (rc={p.poll()}; killed after "
+        f"{_WORKER_TIMEOUT_S}s without output if rc is -9)")
+
+
 def _worker_wait_ready(p) -> None:
-    for line in p.stdout:
-        if line.strip() == "READY":
-            return
-    raise RuntimeError(f"scaling worker died during warmup (rc={p.poll()})")
+    _worker_read(p, lambda s: True if s == "READY" else None,
+                 "died during warmup")
 
 
 def _worker_run(p) -> dict:
     p.stdin.write("run\n")
     p.stdin.flush()
-    for line in p.stdout:
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"scaling worker died mid-run (rc={p.poll()})")
+    return _worker_read(
+        p, lambda s: json.loads(s) if s.startswith("{") else None,
+        "died mid-run")
 
 
 def main() -> None:

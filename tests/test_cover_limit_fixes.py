@@ -110,7 +110,7 @@ def test_cover_explode_multipart_point_gets_every_part_tile(spark):
 def test_cover_clip_explode_multipart_point_rollup(spark):
     from tilemaker_spark.operators.tiling import cover_clip_explode
 
-    out = cover_clip_explode(_mpt_features(spark), 4, 6, EngineConfig())
+    out = cover_clip_explode(_mpt_features(spark), 4, 6)
     rows = out.select("z", "x", "y", "geom").collect()
     assert {(r.x, r.y) for r in rows if r.z == 6} == _expected_tiles(6)
     assert {(r.x, r.y) for r in rows if r.z == 4} == _expected_tiles(4)

@@ -161,3 +161,51 @@ def test_ivf_layout_probe_prunes_scan(spark, emb, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cluster" in pf[0] and "PartitionFilters: []" not in pf[0]
     assert got.count() == 3
+
+
+def test_ivf_layout_append_reuses_stored_centroids(spark, emb, tmp_path):
+    """Append must assign the batch against the layout's sidecar
+    centroids (retraining on the batch would desync directories from
+    the sidecar and silently break pruned probes) and must not touch
+    the sidecar."""
+    import json
+
+    from tilemaker_spark.operators.similarity import (
+        assign_to_centroids, ivf_layout_topk, write_embeddings_ivf)
+
+    p = str(tmp_path / "ivf3")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    write_embeddings_ivf(base, p, n_clusters=4, max_iter=3)
+    with open(f"{p}/_ivf_centroids.json") as f:
+        cent_before = json.load(f)["centroids"]
+
+    write_embeddings_ivf(batch, p, mode="append")
+    with open(f"{p}/_ivf_centroids.json") as f:
+        assert json.load(f)["centroids"] == cent_before  # untouched
+
+    # every appended row sits in the directory its STORED-centroid
+    # assignment dictates
+    stored = np.asarray(cent_before)
+    want = {r.vec_id: r.cluster
+            for r in assign_to_centroids(batch, stored).collect()}
+    got = {r.vec_id: r.cluster
+           for r in spark.read.parquet(p).join(
+               batch.select("vec_id"), "vec_id").collect()}
+    assert got == want
+
+    # exhaustive probe over the merged layout == brute force on the
+    # union (the pruning contract survives the append)
+    probe = emb.filter(F.col("vec_id") == 7).first()
+    rows = {r.vec_id for r in
+            ivf_layout_topk(spark, p, probe.embedding, k=6, nprobe=4)
+            .collect() if r.vec_id != 7}
+    want_ids = {r.vec_id for r in cosine_topk(emb, [7], k=5).collect()}
+    assert rows == want_ids
+
+
+def test_ivf_layout_append_without_sidecar_rejected(spark, emb, tmp_path):
+    from tilemaker_spark.operators.similarity import write_embeddings_ivf
+
+    with pytest.raises(ValueError, match="sidecar"):
+        write_embeddings_ivf(emb, str(tmp_path / "nope"), mode="append")

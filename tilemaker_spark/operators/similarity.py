@@ -115,6 +115,27 @@ def with_hyperplane_bucket(embeddings: DataFrame, n_bits: int = 4,
     return embeddings.withColumn("bucket", acc)
 
 
+def assign_to_centroids(embeddings: DataFrame, centroids: np.ndarray,
+                        emb_col: str = "embedding") -> DataFrame:
+    """Add a ``cluster`` column by assigning every row to its nearest
+    FIXED centroid (no training): broadcast the k×d matrix into one
+    vectorized pandas UDF — a single matrix multiply per Arrow batch.
+    Shared by the Lloyd loop and the IVF append path (which must reuse
+    the layout's stored centroids, never retrain on the batch)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    half_norms = 0.5 * (cent ** 2).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype="int32")
+        scores = X @ cent.T - half_norms  # argmax == argmin L2
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return embeddings.withColumn("cluster", assign(F.col(emb_col)))
+
+
 def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
                   max_iter: int = 5, emb_col: str = "embedding",
                   return_centroids: bool = False):
@@ -136,22 +157,8 @@ def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
              .select(emb_col).collect())
     centroids = np.asarray([list(r[0]) for r in first], dtype=np.float64)
 
-    def make_assign(cent: np.ndarray):
-        half_norms = 0.5 * (cent ** 2).sum(axis=1)
-
-        @pandas_udf("int")
-        def assign(emb: pd.Series) -> pd.Series:
-            X = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
-            if len(X) == 0:
-                return pd.Series([], dtype="int32")
-            scores = X @ cent.T - half_norms  # argmax == argmin L2
-            return pd.Series(scores.argmax(axis=1).astype(np.int32))
-
-        return assign
-
     for _ in range(max_iter):
-        assigned = embeddings.withColumn(
-            "cluster", make_assign(centroids)(F.col(emb_col)))
+        assigned = assign_to_centroids(embeddings, centroids, emb_col)
         dim = centroids.shape[1]
         sums = (assigned
                 .groupBy("cluster")
@@ -170,8 +177,7 @@ def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
             break
         centroids = new_c
 
-    assigned = embeddings.withColumn(
-        "cluster", make_assign(centroids)(F.col(emb_col)))
+    assigned = assign_to_centroids(embeddings, centroids, emb_col)
     return (assigned, centroids) if return_centroids else assigned
 
 
@@ -275,19 +281,37 @@ def write_embeddings_ivf(embeddings: DataFrame, path: str,
     Cluster dirs are range-split by vec_id so a dense list spreads over
     many right-sized files instead of one giant write task; only the
     k×d centroid matrix ever reaches the driver.
+
+    ``mode="append"`` REUSES the layout's stored centroids (the batch
+    is assigned against ``_ivf_centroids.json``, which stays
+    untouched): retraining on the batch would partition new rows by
+    centroids that no longer describe the existing directories, and
+    every subsequent pruned probe would silently miss neighbors.
+    Appending to a path without the sidecar is an error.
     """
     import json as _json
     import os as _os
 
-    assigned, cent = kmeans_assign(embeddings, n_clusters, max_iter,
-                                   emb_col, return_centroids=True)
+    sidecar = _os.path.join(path, "_ivf_centroids.json")
+    if mode == "append":
+        if not _os.path.exists(sidecar):
+            raise ValueError(
+                f"append to {path!r} requires its _ivf_centroids.json "
+                "sidecar (write the layout with mode='overwrite' first)")
+        with open(sidecar) as f:
+            cent = np.asarray(_json.load(f)["centroids"], dtype=np.float64)
+        assigned = assign_to_centroids(embeddings, cent, emb_col)
+    else:
+        assigned, cent = kmeans_assign(embeddings, n_clusters, max_iter,
+                                       emb_col, return_centroids=True)
     num = target_partitions or \
         embeddings.sparkSession.sparkContext.defaultParallelism * 2
     (assigned.repartitionByRange(num, "cluster", "vec_id")
      .sortWithinPartitions("cluster", "vec_id")
      .write.partitionBy("cluster").mode(mode).parquet(path))
-    with open(_os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        _json.dump({"centroids": cent.tolist()}, f)
+    if mode != "append":
+        with open(sidecar, "w") as f:
+            _json.dump({"centroids": cent.tolist()}, f)
 
 
 def ivf_layout_topk(spark, path: str, query_vec, k: int = 5,

@@ -50,7 +50,7 @@ def polygon_cells(polygons: DataFrame, zoom: int = SPATIAL_INDEX_ZOOM,
     (lon, latp) so we project inside the UDF.
     """
 
-    from tilemaker_spark.operators.tiling import LARGE_BBOX_TILE_CAP
+    from tilemaker_spark.operators.tiling import _cover_tiles
 
     @pandas_udf("array<array<long>>")
     def cover(rings: pd.Series) -> pd.Series:
@@ -62,23 +62,11 @@ def polygon_cells(polygons: DataFrame, zoom: int = SPATIAL_INDEX_ZOOM,
                 if lat_in_rings:
                     a = np.column_stack([a[:, 0], lat2latp_np(a[:, 1])])
                 parts_np.append(a)
-            tiles, bbox = G.cover_geometry(G.GEOM_POLYGON, parts_np, zoom)
-            if bbox is not None:
-                minx, miny, maxx, maxy = bbox
-                if (maxx - minx + 1) * (maxy - miny + 1) \
-                        <= LARGE_BBOX_TILE_CAP:
-                    tiles = [(x, y) for x in range(minx, maxx + 1)
-                             for y in range(miny, maxy + 1)]
-                else:
-                    # same guard as tiling._cover_tiles: a fat bbox must
-                    # not materialize millions of cells in the UDF —
-                    # the exact filled cover is bounded by polygon area
-                    # (callers route even-bigger polygons to a bbox
-                    # join instead of cells)
-                    tiles = set()
-                    for outer, _ in G.iter_polygons(parts_np):
-                        tiles |= G.fill_covered_tiles(
-                            G.supercover_tiles(outer, zoom))
+            # the ONE cover-tile recipe (tiling._cover_tiles): bbox
+            # grid under LARGE_BBOX_TILE_CAP, exact filled cover above
+            # it — keeps the spatial index cell-identical with the
+            # tile-cover path by construction
+            tiles = _cover_tiles(G.GEOM_POLYGON, parts_np, zoom)
             out.append([[t[0], t[1]] for t in sorted(tiles)])
         return pd.Series(out)
 

@@ -146,18 +146,12 @@ def cover_clip_explode(features: DataFrame, minzoom: int, basezoom: int,
                         & (F.size("geom") <= 1)), basezoom)
     # multi-part points: generic cover (every part gets its tile) +
     # rollup, geom untouched — assembly's point encoder clips per part,
-    # and the quadtree descent below must never see a point geometry
+    # and the quadtree descent below must never see a point geometry.
+    # cover_explode routes size>1 point rows through its cover-UDF
+    # branch (its scalar fast path matches nothing for them).
     mpts = features.filter((F.col("geom_type") == 1)
                            & (F.size("geom") > 1))
-    cover = _cover_udf(basezoom)
-    mcov = mpts.withColumn("_tiles", cover(F.col("geom_type"),
-                                           F.col("geom")))
-    mpt_tiles = (mcov.select("*", F.explode("_tiles").alias("_t"))
-                 .withColumn("z", F.lit(basezoom).cast("int"))
-                 .withColumn("x", F.element_at("_t", 1))
-                 .withColumn("y", F.element_at("_t", 2))
-                 .drop("_tiles", "_t"))
-    pts = pts.unionByName(mpt_tiles)
+    pts = pts.unionByName(cover_explode(mpts, basezoom))
     pts = ancestor_rollup(pts, minzoom, basezoom)
 
     other = features.filter(F.col("geom_type") != 1)
@@ -406,7 +400,11 @@ def hot_tile_salt(feature_tiles: DataFrame, threshold: int, salt: int) -> DataFr
                                 ["z", "x", "y"], "left")
     return (joined
             .withColumn("salt",
+                        # pmod: xxhash64-derived feature ids are negative
+                        # half the time and % keeps the sign — signed
+                        # salts would double the group fan-out
                         F.when(F.col("_hot").isNotNull(),
-                               (F.col("feature_id") % salt).cast("int"))
+                               F.pmod(F.col("feature_id"), F.lit(salt))
+                               .cast("int"))
                         .otherwise(F.lit(0)))
             .drop("_hot"))
