@@ -72,3 +72,23 @@ def test_cli_table_plus_input_conflict(tmp_path):
     file wins the pages slot) — the parser must refuse instead."""
     with pytest.raises(SystemExit):
         cli.main([str(tmp_path), "--table", "cat.db.pages", "--quiet"])
+
+
+def test_bench_worker_watchdog_kills_wedged_worker(monkeypatch):
+    """A worker that stops producing output must fail the scaling bench
+    within the watchdog deadline, not hang it forever."""
+    import subprocess
+    import sys
+    import time
+
+    import bench
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(60)"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, bufsize=1)
+    monkeypatch.setattr(bench, "_WORKER_TIMEOUT_S", 1)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="warmup"):
+        bench._worker_wait_ready(p)
+    assert time.monotonic() - t0 < 10
+    assert p.poll() is not None  # watchdog killed it
