@@ -82,6 +82,25 @@ def _load1() -> float:
         return -1.0
 
 
+def _wait_quiet_start() -> float:
+    """Bounded pre-bench load gate: wait (poll 20 s) until the 1-min
+    load drops below SPARK_GRAFT_BENCH_WAIT_LOAD (default 1.5), up to
+    SPARK_GRAFT_BENCH_WAIT_S (default 420 s; 0 disables).
+
+    Rationale: best-of-N retries rescue a burst that lands MID-bench,
+    but a bench LAUNCHED into one of this VM's 20-40 min neighbor
+    bursts (load 8-25) records contaminated walls for every query
+    (round-4 driver record: load ~25, e2e 2.4x slow). The wait happens
+    once, before any Spark work, where the 1-min average carries no
+    self-load. Returns seconds waited (recorded in the JSON)."""
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_LOAD", "1.5"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "420"))
+    t0 = time.time()
+    while budget > 0 and _load1() >= gate and time.time() - t0 < budget:
+        time.sleep(20)
+    return round(time.time() - t0, 1)
+
+
 def run_e2e(spark, n_pages: int, workdir: str, repeats: int = 2) -> dict:
     """pages -> features -> feature_tiles -> MVT tiles, fully fresh.
 
@@ -416,6 +435,8 @@ def main() -> None:
         print(json.dumps(report))
         return
 
+    gate_wait_s = _wait_quiet_start()
+
     from tilemaker_spark.session import get_spark
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -465,6 +486,7 @@ def main() -> None:
         "e2e_geom": e2e_geom,
         "e2e_geom_pair": e2e_geom_pair,
         "cpus": CPUS,
+        "gate_wait_s": gate_wait_s,
     }
     print(json.dumps(out))
 

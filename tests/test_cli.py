@@ -92,3 +92,32 @@ def test_bench_worker_watchdog_kills_wedged_worker(monkeypatch):
         bench._worker_wait_ready(p)
     assert time.monotonic() - t0 < 10
     assert p.poll() is not None  # watchdog killed it
+
+
+def test_bench_start_gate_waits_and_respects_budget(monkeypatch):
+    """The pre-bench load gate polls until the load drops below the gate
+    and never exceeds its budget (disabled entirely at budget 0)."""
+    import bench
+
+    # disabled: returns immediately even under "load"
+    monkeypatch.setattr(bench, "_load1", lambda: 99.0)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT_S", "0")
+    assert bench._wait_quiet_start() < 1.0
+
+    # quiet host: no wait
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT_S", "420")
+    monkeypatch.setattr(bench, "_load1", lambda: 0.1)
+    assert bench._wait_quiet_start() < 1.0
+
+    # busy then quiet: waits one poll interval, then proceeds
+    loads = iter([9.0, 9.0, 0.2])
+    monkeypatch.setattr(bench, "_load1", lambda: next(loads, 0.2))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._wait_quiet_start() < 1.0
+
+    # permanently busy: bounded by the wall-clock budget, not infinite
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT_S", "0.2")
+    monkeypatch.setattr(bench, "_load1", lambda: 50.0)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    waited = bench._wait_quiet_start()
+    assert 0.2 <= waited < 5.0  # returned right at the budget edge
