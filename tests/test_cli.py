@@ -121,3 +121,31 @@ def test_bench_start_gate_waits_and_respects_budget(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     waited = bench._wait_quiet_start()
     assert 0.2 <= waited < 5.0  # returned right at the budget edge
+
+
+def test_bench_stdout_is_one_json_line():
+    """The driver records bench.py's stdout as ONE JSON line — any stray
+    print would corrupt BENCH_r{N}.json. Smoke the real subprocess at
+    tiny scale (gate disabled) and pin the contract keys."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               SPARK_GRAFT_BENCH_WAIT_S="0",
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_BENCH_PAGES="2000",
+               SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "bench.py"), "--e2e-only"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got {len(lines)}"
+    d = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "queries", "sf", "e2e",
+                "gate_wait_s"):
+        assert key in d, key
+    assert d["unit"] == "tiles/sec" and d["value"] > 0
