@@ -122,6 +122,29 @@ def _q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("face", "pos", "n_pages", "min_doc"))
 
 
+H3_RES = 5
+
+
+def _q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style aperture-7 hex encoding (the H3 half of the north-rule
+    "vectorized H3/S2 cell encoding in Arrow pandas UDFs"): bucket the
+    geo-tagged pages by hex cell at H3_RES, then roll up to the res-4
+    parent with pure JVM lattice math (hex_parent_col — whole-stage
+    codegen, no Python re-entry). Oracle: an independent SQL replay of
+    the same published algorithm (gnomonic icosahedron-face projection,
+    axial cube rounding, T^-1 aperture-7 parent transform) over the
+    same face/basis double constants (repr round-trip, bit-identical).
+    """
+    from tilemaker_spark.functions.h3 import hex_parent_col, with_hex_cell
+    g = with_hex_cell(_geo_docs(spark, sf_dir), res=H3_RES, out="cell")
+    return (g.withColumn("parent", hex_parent_col(F.col("cell")))
+             .groupBy("parent")
+             .agg(F.count("*").alias("n_pages"),
+                  F.countDistinct("cell").alias("n_cells"),
+                  F.min("doc_id").alias("min_doc"))
+             .select("parent", "n_pages", "n_cells", "min_doc"))
+
+
 def _q_zoom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: distinct occupied tiles per zoom 0..BASEZOOM, rolled up from
     the basezoom point assignment by bit shift."""
@@ -998,9 +1021,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (pbf_scan→pbf pytest, tiles_e2e→tiles_e2e_digest/bbox,
     relations_multipolygon→relations_scalars, winnow_fingerprints→
     winnow_select, media_image_stats→media_image_dims/media_embed_knn)
-    and (b) 3 oracle-green variants of operators already covered inside
+    and (b) 4 oracle-green variants of operators already covered inside
     the window (area_join ⊂ area_join_concave, knn_sparse ⊂ knn_hot,
-    simhash_pairs_wide ⊂ simhash_pairs) — all 8 still run through
+    simhash_pairs_wide ⊂ simhash_pairs, simhash_signatures ⊂
+    simhash_pairs which recomputes the same signatures on the same
+    code path — parked round 5 to make room for h3_cells) — all 9
+    still run through
     tools/check_contract.py locally and through pytest.
     tests/test_entry_contract.py pins this prefix so a future append
     cannot silently evict driver evidence."""
@@ -1015,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tiling / spatial core
         "tile_assign_points": _q_tile_assign,
         "s2_cells": _q_s2_cells,
+        "h3_cells": _q_h3_cells,
         "zoom_rollup": _q_zoom_rollup,
         "spatial_join_pip": _q_spatial_join_pip,
         "knn_hot": _q_knn,
@@ -1030,7 +1057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_clusters": _q_dedup_clusters,
-        "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "span_dedup": _q_span_dedup,
         # -- sampling / text analysis / web curation
@@ -1067,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "area_join": _q_area_join,
         "knn_sparse": _q_knn_sparse,
         "simhash_pairs_wide": _q_simhash_pairs_wide,
+        "simhash_signatures": _q_simhash,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1154,6 +1181,68 @@ SELECT face, pos // {shift_div} AS pos,
 FROM hil WHERE k = -1 GROUP BY 1, 2"""
 
 
+def _h3_cells_sql(res: int) -> str:
+    """DuckDB twin of `_q_h3_cells`: the identical float pipeline over
+    the same face-center/tangent-basis doubles (repr round-trip from
+    the module constants), argmax face via a window with the same
+    first-max tie-break, the same floor(x+0.5) cube rounding, and the
+    same T^-1 parent transform — an independent scalar implementation
+    of the same public aperture-7 algorithm."""
+    from tilemaker_spark.functions.h3 import (
+        BIAS, sql_h3_face_values, sql_h3_inv)
+    inv00, inv01, inv10, inv11 = sql_h3_inv(res)
+    rad = "0.017453292519943295"
+    return f"""
+WITH {_geo_cte()},
+xyz AS (SELECT doc_id,
+  cos(lat*{rad})*cos(lon*{rad}) AS x,
+  cos(lat*{rad})*sin(lon*{rad}) AS y,
+  sin(lat*{rad}) AS z FROM geo),
+fv(face, cx, cy, cz, exx, exy, exz, eyx, eyy, eyz) AS
+  (VALUES {sql_h3_face_values()}),
+fd AS (SELECT doc_id, x, y, z, face, exx, exy, exz, eyx, eyy, eyz,
+       cx*x + cy*y + cz*z AS dt,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY cx*x + cy*y + cz*z DESC, face) AS rn
+       FROM xyz CROSS JOIN fv),
+uv AS (SELECT doc_id, face,
+  (x/dt)*exx + (y/dt)*exy + (z/dt)*exz AS u,
+  (x/dt)*eyx + (y/dt)*eyy + (z/dt)*eyz AS v FROM fd WHERE rn = 1),
+ax AS (SELECT doc_id, face, {inv00}*u + {inv01}*v AS fi,
+                            {inv10}*u + {inv11}*v AS fj FROM uv),
+rnd AS (SELECT doc_id, face, fi, fj, -fi - fj AS yf,
+  CAST(floor(fi + 0.5) AS BIGINT) AS rx,
+  CAST(floor(-fi - fj + 0.5) AS BIGINT) AS ry,
+  CAST(floor(fj + 0.5) AS BIGINT) AS rz FROM ax),
+fixed AS (SELECT doc_id, face,
+  CASE WHEN abs(rx - fi) > abs(ry - yf) AND abs(rx - fi) > abs(rz - fj)
+       THEN -ry - rz ELSE rx END AS i,
+  CASE WHEN NOT (abs(rx - fi) > abs(ry - yf) AND abs(rx - fi) > abs(rz - fj))
+            AND NOT (abs(ry - yf) > abs(rz - fj))
+       THEN -rx - ry ELSE rz END AS j FROM rnd),
+cells AS (SELECT doc_id, face, i, j,
+  (CAST({res} AS BIGINT) << 59) | (CAST(face AS BIGINT) << 54)
+  | ((i + {BIAS}) << 27) | (j + {BIAS}) AS cell FROM fixed),
+par AS (SELECT doc_id, cell, face,
+  CAST(3*i + j AS DOUBLE)/7.0 AS fi,
+  CAST(-i + 2*j AS DOUBLE)/7.0 AS fj FROM cells),
+prnd AS (SELECT doc_id, cell, face, fi, fj, -fi - fj AS yf,
+  CAST(floor(fi + 0.5) AS BIGINT) AS rx,
+  CAST(floor(-fi - fj + 0.5) AS BIGINT) AS ry,
+  CAST(floor(fj + 0.5) AS BIGINT) AS rz FROM par),
+pfix AS (SELECT doc_id, cell, face,
+  CASE WHEN abs(rx - fi) > abs(ry - yf) AND abs(rx - fi) > abs(rz - fj)
+       THEN -ry - rz ELSE rx END AS pi,
+  CASE WHEN NOT (abs(rx - fi) > abs(ry - yf) AND abs(rx - fi) > abs(rz - fj))
+            AND NOT (abs(ry - yf) > abs(rz - fj))
+       THEN -rx - ry ELSE rz END AS pj FROM prnd)
+SELECT (CAST({res - 1} AS BIGINT) << 59) | (CAST(face AS BIGINT) << 54)
+       | ((pi + {BIAS}) << 27) | (pj + {BIAS}) AS parent,
+       count(*) AS n_pages, count(DISTINCT cell) AS n_cells,
+       min(doc_id) AS min_doc
+FROM pfix GROUP BY 1"""
+
+
 def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return (f"2.0 * 6371000.0 * asin(sqrt(pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) "
             f"+ cos(radians({lat1})) * cos(radians({lat2})) "
@@ -1190,6 +1279,7 @@ SELECT {sql_tile_x('lon', tz)} AS x, {sql_tile_y('lat', tz)} AS y,
 FROM geo GROUP BY 1, 2"""
 
     q["s2_cells"] = _s2_cells_sql(S2_LEVEL)
+    q["h3_cells"] = _h3_cells_sql(H3_RES)
 
     q["zoom_rollup"] = f"""
 WITH {_geo_cte()},

@@ -12,7 +12,10 @@ import __spark_entry__ as entry
 # Oracle-green variants of operators already evidenced inside the
 # window; deliberately parked past position 50 (still covered by
 # tools/check_contract.py + pytest).
-REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide"}
+REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
+                      # ⊂ simhash_pairs (same signature code path);
+                      # parked round 5 to open a window slot for h3_cells
+                      "simhash_signatures"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.
