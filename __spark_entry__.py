@@ -137,12 +137,36 @@ def _q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tilemaker_spark.functions.h3 import hex_parent_col, with_hex_cell
     g = with_hex_cell(_geo_docs(spark, sf_dir), res=H3_RES, out="cell")
-    return (g.withColumn("parent", hex_parent_col(F.col("cell")))
-             .groupBy("parent")
-             .agg(F.count("*").alias("n_pages"),
-                  F.countDistinct("cell").alias("n_cells"),
-                  F.min("doc_id").alias("min_doc"))
-             .select("parent", "n_pages", "n_cells", "min_doc"))
+    # two-level agg instead of countDistinct: cell -> parent is
+    # functional, so (parent, cell) partials then a parent rollup cost
+    # 2 exchanges of the CELL table where the expand-based distinct
+    # plan costs 4 (PLANS.md audit)
+    per_cell = (g.withColumn("parent", hex_parent_col(F.col("cell")))
+                 .groupBy("parent", "cell")
+                 .agg(F.count("*").alias("c"), F.min("doc_id").alias("m")))
+    return (per_cell.groupBy("parent")
+            .agg(F.sum("c").alias("n_pages"),
+                 F.count("*").alias("n_cells"),
+                 F.min("m").alias("min_doc"))
+            .select("parent", "n_pages", "n_cells", "min_doc"))
+
+
+def _q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ring hex neighborhood aggregation (spatial smoothing over the
+    aperture-7 grid): per-cell page counts at H3_RES, then the k=1
+    ring sum via pure-addition neighbor ids (`hex_kring_col` — i and j
+    live in fixed bit fields so a neighbor id is cell + di*2^27 + dj;
+    codegen, scatter == gather by ring symmetry). Shuffle volume is a
+    constant 7x the CELL table, never the row table. Oracle: the
+    shared encode replay + a 7-row offsets relation joined by the same
+    integer id math."""
+    from tilemaker_spark.functions.h3 import (
+        hex_neighborhood_agg, with_hex_cell)
+    g = with_hex_cell(_geo_docs(spark, sf_dir), res=H3_RES, out="cell")
+    per_cell = g.groupBy("cell").agg(F.count("*").alias("n_pages"),
+                                     F.min("doc_id").alias("min_doc"))
+    sm = hex_neighborhood_agg(per_cell, "n_pages", k=1, out="nbhd_pages")
+    return sm.select("cell", "n_pages", "nbhd_pages", "min_doc")
 
 
 def _q_zoom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,12 +1045,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (pbf_scan→pbf pytest, tiles_e2e→tiles_e2e_digest/bbox,
     relations_multipolygon→relations_scalars, winnow_fingerprints→
     winnow_select, media_image_stats→media_image_dims/media_embed_knn)
-    and (b) 4 oracle-green variants of operators already covered inside
-    the window (area_join ⊂ area_join_concave, knn_sparse ⊂ knn_hot,
-    simhash_pairs_wide ⊂ simhash_pairs, simhash_signatures ⊂
+    and (b) oracle-green queries whose operator is already covered
+    inside the window (area_join ⊂ area_join_concave, knn_sparse ⊂
+    knn_hot, simhash_pairs_wide ⊂ simhash_pairs, simhash_signatures ⊂
     simhash_pairs which recomputes the same signatures on the same
-    code path — parked round 5 to make room for h3_cells) — all 9
-    still run through
+    code path — parked round 5 to make room for h3_cells; hex_smooth,
+    added round 5 with the window already full, encoder evidenced
+    in-window by h3_cells) — all 10 still run through
     tools/check_contract.py locally and through pytest.
     tests/test_entry_contract.py pins this prefix so a future append
     cannot silently evict driver evidence."""
@@ -1094,6 +1119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sparse": _q_knn_sparse,
         "simhash_pairs_wide": _q_simhash_pairs_wide,
         "simhash_signatures": _q_simhash,
+        # new round-5 operator; window full — oracle-checked by
+        # tools/check_contract.py (h3_cells covers the encoder in-window)
+        "hex_smooth": _q_hex_smooth,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1181,19 +1209,18 @@ SELECT face, pos // {shift_div} AS pos,
 FROM hil WHERE k = -1 GROUP BY 1, 2"""
 
 
-def _h3_cells_sql(res: int) -> str:
-    """DuckDB twin of `_q_h3_cells`: the identical float pipeline over
-    the same face-center/tangent-basis doubles (repr round-trip from
-    the module constants), argmax face via a window with the same
-    first-max tie-break, the same floor(x+0.5) cube rounding, and the
-    same T^-1 parent transform — an independent scalar implementation
-    of the same public aperture-7 algorithm."""
+def _h3_encode_ctes(res: int) -> str:
+    """Shared DuckDB replay of the H3-style encoder (consumed by
+    `_h3_cells_sql` and `_hex_smooth_sql`): identical float pipeline
+    over the same face-center/tangent-basis doubles (repr round-trip
+    from the module constants), argmax face via a window with the same
+    first-max tie-break, the same floor(x+0.5) cube rounding — ends at
+    CTE ``cells(doc_id, face, i, j, cell)``."""
     from tilemaker_spark.functions.h3 import (
         BIAS, sql_h3_face_values, sql_h3_inv)
     inv00, inv01, inv10, inv11 = sql_h3_inv(res)
     rad = "0.017453292519943295"
-    return f"""
-WITH {_geo_cte()},
+    return f"""{_geo_cte()},
 xyz AS (SELECT doc_id,
   cos(lat*{rad})*cos(lon*{rad}) AS x,
   cos(lat*{rad})*sin(lon*{rad}) AS y,
@@ -1222,7 +1249,16 @@ fixed AS (SELECT doc_id, face,
        THEN -rx - ry ELSE rz END AS j FROM rnd),
 cells AS (SELECT doc_id, face, i, j,
   (CAST({res} AS BIGINT) << 59) | (CAST(face AS BIGINT) << 54)
-  | ((i + {BIAS}) << 27) | (j + {BIAS}) AS cell FROM fixed),
+  | ((i + {BIAS}) << 27) | (j + {BIAS}) AS cell FROM fixed)"""
+
+
+def _h3_cells_sql(res: int) -> str:
+    """DuckDB twin of `_q_h3_cells`: the shared encode replay plus the
+    same T^-1 aperture-7 parent transform — an independent scalar
+    implementation of the same public algorithm."""
+    from tilemaker_spark.functions.h3 import BIAS
+    return f"""
+WITH {_h3_encode_ctes(res)},
 par AS (SELECT doc_id, cell, face,
   CAST(3*i + j AS DOUBLE)/7.0 AS fi,
   CAST(-i + 2*j AS DOUBLE)/7.0 AS fj FROM cells),
@@ -1241,6 +1277,26 @@ SELECT (CAST({res - 1} AS BIGINT) << 59) | (CAST(face AS BIGINT) << 54)
        count(*) AS n_pages, count(DISTINCT cell) AS n_cells,
        min(doc_id) AS min_doc
 FROM pfix GROUP BY 1"""
+
+
+def _hex_smooth_sql(res: int) -> str:
+    """DuckDB twin of `_q_hex_smooth`: shared encode replay, then the
+    k=1 ring as a 7-row delta relation over the same packed-id
+    arithmetic (neighbor = cell + di*2^27 + dj)."""
+    from tilemaker_spark.functions.h3 import _I_BITS, kring_offsets
+    deltas = ", ".join(f"({di * (1 << _I_BITS) + dj})"
+                       for di, dj in kring_offsets(1))
+    return f"""
+WITH {_h3_encode_ctes(res)},
+per_cell AS (SELECT cell, count(*) AS n_pages, min(doc_id) AS min_doc
+             FROM cells GROUP BY cell),
+offs(delta) AS (VALUES {deltas}),
+scatter AS (SELECT p.cell + o.delta AS cell, p.n_pages
+            FROM per_cell p CROSS JOIN offs o),
+nb AS (SELECT cell, CAST(sum(n_pages) AS BIGINT) AS nbhd_pages
+       FROM scatter GROUP BY cell)
+SELECT p.cell, p.n_pages, nb.nbhd_pages, p.min_doc
+FROM per_cell p JOIN nb USING (cell)"""
 
 
 def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
@@ -1280,6 +1336,7 @@ FROM geo GROUP BY 1, 2"""
 
     q["s2_cells"] = _s2_cells_sql(S2_LEVEL)
     q["h3_cells"] = _h3_cells_sql(H3_RES)
+    q["hex_smooth"] = _hex_smooth_sql(H3_RES)
 
     q["zoom_rollup"] = f"""
 WITH {_geo_cte()},

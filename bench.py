@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "sessionize_events",
     # round-4 additions
     "s2_cells",
+    # round-5 addition: H3-style aperture-7 hex encode + codegen rollup
+    "h3_cells",
     "html_extract",
     "pii_scrub",
     "simhash_pairs",

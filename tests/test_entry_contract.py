@@ -15,7 +15,12 @@ import __spark_entry__ as entry
 REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # ⊂ simhash_pairs (same signature code path);
                       # parked round 5 to open a window slot for h3_cells
-                      "simhash_signatures"}
+                      "simhash_signatures",
+                      # round-5 k-ring smoothing op, added with the window
+                      # already full; its encoder is evidenced in-window
+                      # by h3_cells, the ring math by pytest + the
+                      # check_contract oracle run
+                      "hex_smooth"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -10,8 +10,9 @@ from pyspark.sql import functions as F
 
 from tilemaker_spark.functions.h3 import (
     ALPHA, BIAS, DIGITS, MAX_RES, _FACE_C, _FACE_EX, _FACE_EY, _INV,
-    hex_cell_center, hex_cell_id, hex_children, hex_kring, hex_pack,
-    hex_parent, hex_parent_col, hex_round, hex_unpack, with_hex_cell,
+    hex_cell_center, hex_cell_id, hex_children, hex_kring, hex_kring_col,
+    hex_neighborhood_agg, hex_pack, hex_parent, hex_parent_col, hex_round,
+    hex_unpack, kring_offsets, with_hex_cell,
     sql_h3_face_values, sql_h3_inv,
 )
 
@@ -158,6 +159,30 @@ def test_center_roundtrip():
     onface = f0 == f1
     assert onface.mean() > 0.9
     np.testing.assert_array_equal(cells[onface], again[onface])
+
+
+def test_kring_col_matches_numpy(spark):
+    cells = [int(hex_pack(6, f, i, j))
+             for f, i, j in [(0, 0, 0), (9, 40, -17), (19, -300, 512)]]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    for k in (1, 2):
+        rows = df.select("cell",
+                         hex_kring_col(F.col("cell"), k).alias("nb")).collect()
+        for r in rows:
+            assert sorted(r["nb"]) == sorted(hex_kring(r["cell"], k).tolist())
+
+
+def test_neighborhood_agg_brute_force(spark):
+    # a 5x5 axial block with value = 1 + (i + 2) * 5 + (j + 2)
+    cells = {int(hex_pack(7, 3, i, j)): 1 + (i + 2) * 5 + (j + 2)
+             for i in range(-2, 3) for j in range(-2, 3)}
+    df = spark.createDataFrame(list(cells.items()), "cell long, v long")
+    got = {r["cell"]: r["nbhd_sum"] for r in
+           hex_neighborhood_agg(df, "v", k=1).collect()}
+    assert set(got) == set(cells)
+    for c, v in cells.items():
+        want = sum(cells.get(int(n), 0) for n in hex_kring(c, 1))
+        assert got[c] == want, hex_unpack(np.int64(c))
 
 
 def test_res_validation():

@@ -312,6 +312,47 @@ def hex_parent_col(cell: Column) -> Column:
             .bitwiseOR(pj + F.lit(BIAS)))
 
 
+def kring_offsets(k: int) -> list[tuple[int, int]]:
+    """Axial (di, dj) offsets of the k-ring disc — 1 + 3k(k+1) of them,
+    the same enumeration `hex_kring` uses."""
+    return [(di, dj)
+            for di in range(-k, k + 1)
+            for dj in range(max(-k, -di - k), min(k, -di + k) + 1)]
+
+
+def hex_kring_col(cell: Column, k: int) -> Column:
+    """The k-ring disc as an array Column of cell ids — FACE-LOCAL
+    (module-docstring seam note). Because i and j live in fixed bit
+    fields, a neighbor id is literally ``cell + di*2^27 + dj``: one
+    integer add per neighbor, whole-stage codegen, no Python. Valid
+    while |i+di| and |j+dj| stay inside the 27-bit biased fields —
+    real cells sit at |i|,|j| < ~2^23 even at res 15, so offsets of
+    any practical k never carry across fields."""
+    return F.array(*[cell + F.lit(int(di * (1 << _I_BITS) + dj))
+                     for di, dj in kring_offsets(k)])
+
+
+def hex_neighborhood_agg(per_cell: DataFrame, value_col: str,
+                         cell_col: str = "cell", k: int = 1,
+                         out: str = "nbhd_sum") -> DataFrame:
+    """K-ring neighborhood aggregation (hex spatial smoothing): for
+    every OCCUPIED cell, the sum of `value_col` over its k-ring disc.
+
+    Scale shape: scatter-then-gather — each cell row explodes to its
+    1+3k(k+1) neighbor ids (ring symmetry makes scatter == gather) and
+    one partial-agg groupBy sums contributions; occupied cells are
+    recovered with an inner join. Shuffle volume is a constant
+    (1+3k(k+1))x the CELL table (already aggregated — tiny vs the
+    corpus), never the row table; everything is codegen Column math.
+    """
+    nbr = (per_cell
+           .select(F.explode(hex_kring_col(F.col(cell_col), k)).alias(cell_col),
+                   F.col(value_col))
+           .groupBy(cell_col)
+           .agg(F.sum(value_col).alias(out)))
+    return per_cell.join(nbr, cell_col, "inner")
+
+
 # ---------------------------------------------------------- SQL twin
 
 def sql_h3_face_values() -> str:
