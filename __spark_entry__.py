@@ -1209,18 +1209,23 @@ SELECT face, pos // {shift_div} AS pos,
 FROM hil WHERE k = -1 GROUP BY 1, 2"""
 
 
-def _h3_encode_ctes(res: int) -> str:
+def _h3_encode_ctes(res: int, geo_cte: str | None = None) -> str:
     """Shared DuckDB replay of the H3-style encoder (consumed by
-    `_h3_cells_sql` and `_hex_smooth_sql`): identical float pipeline
-    over the same face-center/tangent-basis doubles (repr round-trip
-    from the module constants), argmax face via a window with the same
-    first-max tie-break, the same floor(x+0.5) cube rounding — ends at
-    CTE ``cells(doc_id, face, i, j, cell)``."""
+    `_h3_cells_sql`, `_hex_smooth_sql`, and tests/test_h3.py's
+    miniature gate check — one copy of the formulas): identical float
+    pipeline over the same face-center/tangent-basis doubles (repr
+    round-trip from the module constants), argmax face via a window
+    with the same first-max tie-break, the same floor(x+0.5) cube
+    rounding — ends at CTE ``cells(doc_id, face, i, j, cell)``.
+    `geo_cte` must define ``geo(doc_id, lat, lon)`` (defaults to the
+    contract fixture's derivation)."""
     from tilemaker_spark.functions.h3 import (
         BIAS, sql_h3_face_values, sql_h3_inv)
     inv00, inv01, inv10, inv11 = sql_h3_inv(res)
     rad = "0.017453292519943295"
-    return f"""{_geo_cte()},
+    if geo_cte is None:
+        geo_cte = _geo_cte()
+    return f"""{geo_cte},
 xyz AS (SELECT doc_id,
   cos(lat*{rad})*cos(lon*{rad}) AS x,
   cos(lat*{rad})*sin(lon*{rad}) AS y,

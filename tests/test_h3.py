@@ -9,11 +9,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from tilemaker_spark.functions.h3 import (
-    ALPHA, BIAS, DIGITS, MAX_RES, _FACE_C, _FACE_EX, _FACE_EY, _INV,
+    ALPHA, MAX_RES, _FACE_C, _FACE_EX, _FACE_EY, _INV,
     hex_cell_center, hex_cell_id, hex_children, hex_kring, hex_kring_col,
     hex_neighborhood_agg, hex_pack, hex_parent, hex_parent_col, hex_round,
-    hex_unpack, kring_offsets, with_hex_cell,
-    sql_h3_face_values, sql_h3_inv,
+    hex_unpack, with_hex_cell,
 )
 
 
@@ -217,48 +216,34 @@ def test_hex_parent_col_matches_numpy(spark):
     assert got == hex_parent(cells).tolist()
 
 
+def test_hex_parent_col_res0_is_null(spark):
+    # the numpy twin raises; the Column version must yield null, never
+    # a wrapped garbage id
+    df = spark.createDataFrame([(int(hex_pack(0, 3, 1, 2)),),
+                                (int(hex_pack(1, 3, 1, 2)),)], "cell long")
+    rows = df.select("cell",
+                     hex_parent_col(F.col("cell")).alias("p")).collect()
+    by_res = {(r["cell"] >> 59) & 0xF: r["p"] for r in rows}
+    assert by_res[0] is None
+    assert by_res[1] is not None
+
+
 def test_duckdb_twin_replay(spark):
-    """The contract-gate check in miniature: numpy/Spark encoder vs an
-    independent SQL replay of the same formulas must agree per row."""
+    """The contract-gate check in miniature, against the gate's OWN
+    SQL: numpy/Spark encoder vs `__spark_entry__._h3_encode_ctes` (the
+    exact CTE chain h3_cells/hex_smooth oracles run) must agree per
+    row — no hand-copied formulas that could drift."""
+    from __spark_entry__ import _h3_encode_ctes
     lat, lon = _rand_latlon(400, seed=13)
     res = 5
     cells = hex_cell_id(lat, lon, res)
-    inv00, inv01, inv10, inv11 = sql_h3_inv(res)
     con = duckdb.connect()
     con.execute("CREATE TABLE pts AS SELECT * FROM (VALUES "
-                + ", ".join(f"({k}, {a!r}, {o!r})"
+                + ", ".join(f"({k}, {float(a)!r}, {float(o)!r})"
                             for k, (a, o) in enumerate(zip(lat, lon)))
                 + ") t(id, lat, lon)")
-    rad = "0.017453292519943295"
-    sql = f"""
-WITH xyz AS (SELECT id,
-  cos(lat*{rad})*cos(lon*{rad}) AS x,
-  cos(lat*{rad})*sin(lon*{rad}) AS y,
-  sin(lat*{rad}) AS z FROM pts),
-fv(face, cx, cy, cz, exx, exy, exz, eyx, eyy, eyz) AS
-  (VALUES {sql_h3_face_values()}),
-fd AS (SELECT id, x, y, z, face, exx, exy, exz, eyx, eyy, eyz,
-       cx*x + cy*y + cz*z AS dt,
-       row_number() OVER (PARTITION BY id
-                          ORDER BY cx*x + cy*y + cz*z DESC, face) AS rn
-       FROM xyz CROSS JOIN fv),
-uv AS (SELECT id, face,
-  (x/dt)*exx + (y/dt)*exy + (z/dt)*exz AS u,
-  (x/dt)*eyx + (y/dt)*eyy + (z/dt)*eyz AS v FROM fd WHERE rn = 1),
-ax AS (SELECT id, face, {inv00}*u + {inv01}*v AS fi,
-                        {inv10}*u + {inv11}*v AS fj FROM uv),
-rnd AS (SELECT id, face, fi, fj, -fi - fj AS yf,
-  CAST(floor(fi + 0.5) AS BIGINT) AS rx,
-  CAST(floor(-fi - fj + 0.5) AS BIGINT) AS ry,
-  CAST(floor(fj + 0.5) AS BIGINT) AS rz FROM ax),
-fixed AS (SELECT id, face,
-  CASE WHEN abs(rx - fi) > abs(ry - yf) AND abs(rx - fi) > abs(rz - fj)
-       THEN -ry - rz ELSE rx END AS i,
-  CASE WHEN NOT (abs(rx - fi) > abs(ry - yf) AND abs(rx - fi) > abs(rz - fj))
-            AND NOT (abs(ry - yf) > abs(rz - fj))
-       THEN -rx - ry ELSE rz END AS j FROM rnd)
-SELECT id, (CAST({res} AS BIGINT) << 59) | (CAST(face AS BIGINT) << 54)
-       | ((i + {BIAS}) << 27) | (j + {BIAS}) AS cell
-FROM fixed ORDER BY id"""
+    geo = "geo AS (SELECT id AS doc_id, lat, lon FROM pts)"
+    sql = (f"WITH {_h3_encode_ctes(res, geo_cte=geo)} "
+           f"SELECT doc_id, cell FROM cells ORDER BY doc_id")
     got = con.execute(sql).fetchall()
     assert [c for _, c in got] == cells.tolist()

@@ -223,10 +223,8 @@ def hex_kring(cell: int, k: int) -> np.ndarray:
     """All cells within hex distance k — FACE-LOCAL (see the module
     docstring's seam note): 1 + 3k(k+1) ids on the cell's own face."""
     res, face, i, j = (int(v) for v in hex_unpack(np.int64(cell)))
-    out = [(i + di, j + dj)
-           for di in range(-k, k + 1)
-           for dj in range(max(-k, -di - k), min(k, -di + k) + 1)]
-    arr = np.array(out, dtype=np.int64)
+    arr = np.array([(i + di, j + dj) for di, dj in kring_offsets(k)],
+                   dtype=np.int64)
     return hex_pack(np.full(len(arr), res), np.full(len(arr), face),
                     arr[:, 0], arr[:, 1])
 
@@ -290,7 +288,9 @@ def hex_j_col(cell: Column) -> Column:
 def hex_parent_col(cell: Column) -> Column:
     """Aperture-7 parent as pure JVM Column arithmetic (codegen — no
     Python re-entry for rollups): the identical T^-1 + cube-round
-    chain as `hex_parent` / the SQL twin, term for term."""
+    chain as `hex_parent` / the SQL twin, term for term. Column exprs
+    cannot raise per-row — callers must not feed res-0 cells (the
+    numpy `hex_parent` twin raises; res-0 would wrap to res 15)."""
     i = hex_i_col(cell)
     j = hex_j_col(cell)
     fi = (i * F.lit(3) + j).cast("double") / F.lit(7.0)
@@ -306,10 +306,13 @@ def hex_parent_col(cell: Column) -> Column:
     pi = F.when(fix_x, -ry - rz).otherwise(rx)
     pj = F.when(~fix_x & ~(dy > dz), -rx - ry).otherwise(rz)
     res1 = (hex_res_col(cell) - F.lit(1)).cast("long")
-    return (F.shiftleft(res1, 59)
-            .bitwiseOR(F.shiftleft(hex_face_col(cell).cast("long"), 54))
-            .bitwiseOR(F.shiftleft(pi + F.lit(BIAS), _I_BITS))
-            .bitwiseOR(pj + F.lit(BIAS)))
+    packed = (F.shiftleft(res1, 59)
+              .bitwiseOR(F.shiftleft(hex_face_col(cell).cast("long"), 54))
+              .bitwiseOR(F.shiftleft(pi + F.lit(BIAS), _I_BITS))
+              .bitwiseOR(pj + F.lit(BIAS)))
+    # res-0 has no parent: null (the numpy twin raises; shiftleft(-1, 59)
+    # would otherwise wrap into a garbage id whose res field reads 15)
+    return F.when(hex_res_col(cell) > 0, packed)
 
 
 def kring_offsets(k: int) -> list[tuple[int, int]]:
@@ -345,12 +348,15 @@ def hex_neighborhood_agg(per_cell: DataFrame, value_col: str,
     (1+3k(k+1))x the CELL table (already aggregated — tiny vs the
     corpus), never the row table; everything is codegen Column math.
     """
+    per_cell = per_cell.persist()  # consumed by scatter AND the join-back
     nbr = (per_cell
            .select(F.explode(hex_kring_col(F.col(cell_col), k)).alias(cell_col),
                    F.col(value_col))
            .groupBy(cell_col)
            .agg(F.sum(value_col).alias(out)))
-    return per_cell.join(nbr, cell_col, "inner")
+    res = per_cell.join(nbr, cell_col, "inner")
+    res._internal_persists = [per_cell]  # release convention (CLAUDE.md)
+    return res
 
 
 # ---------------------------------------------------------- SQL twin
