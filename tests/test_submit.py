@@ -72,3 +72,22 @@ def test_spark_submit_py_files_pipeline(tmp_path):
     total_file_rows = sum(f["rows"]
                           for f in metrics["stages"]["tiles"]["files"])
     assert total_file_rows == 3773
+
+    # resume half of the contract: re-submitting the SAME workdir
+    # without --force must resume from the checkpoints (every stage
+    # reports resumed=true) and still account for the same tiles
+    proc2 = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", f"{zip_base}.zip",
+         os.path.join(REPO, "scripts", "submit_pipeline.py"),
+         "--input", SF_DIR, "--workdir", str(workdir)],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(tmp_path))
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    last2 = [ln for ln in proc2.stdout.strip().splitlines()
+             if ln.strip()][-1]
+    printed2 = json.loads(last2)
+    assert printed2["tiles"] == 3773
+    assert all(st.get("resumed") for st in printed2["stages"].values())
