@@ -380,6 +380,7 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.1
 TOKEN_BUDGET = 800
+PACK_SEQ_LEN = 512
 
 
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +406,21 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample_naive(_docs(spark, sf_dir), "lang",
                                      TOKEN_BUDGET) \
         .select("doc_id", "lang", "n_tokens", "cum_tokens", "take_rank")
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): deterministically order the
+    corpus by the shared 60-bit hash key, concatenate into one global
+    token stream, cut into PACK_SEQ_LEN-token training sequences, and
+    emit each document's per-sequence span (the GPT-style pretraining
+    packing step). Oracle-facing side uses the NAIVE single-window
+    formulation (the token_budget_sample lesson); the bucketed
+    scale-path `pack_chunks` is pinned row-identical by
+    tests/test_sampling.py."""
+    from tilemaker_spark.operators.sampling import pack_chunks_naive
+    return pack_chunks_naive(_docs(spark, sf_dir), PACK_SEQ_LEN) \
+        .select("chunk_id", "doc_id", "tok_start", "tok_end",
+                "chunk_pos", "n_tokens")
 
 
 def _q_lm_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,6 +1138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-5 operator; window full — oracle-checked by
         # tools/check_contract.py (h3_cells covers the encoder in-window)
         "hex_smooth": _q_hex_smooth,
+        # round-5 sequence packing; window full — oracle-checked by
+        # tools/check_contract.py (the prefix-sum machinery it shares
+        # is evidenced in-window by token_budget_sample)
+        "pack_chunks": _q_pack_chunks,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1652,6 +1672,24 @@ WITH ranked AS (
 SELECT doc_id, lang, n_tokens, cum_tokens,
        CAST(take_rank AS INT) AS take_rank
 FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET} OR take_rank = 1"""
+
+    q["pack_chunks"] = f"""
+WITH pre AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (ORDER BY {_skey}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS st
+  FROM documents)
+SELECT c AS chunk_id, doc_id,
+       GREATEST(CAST(0 AS BIGINT), c * {PACK_SEQ_LEN} - st) AS tok_start,
+       LEAST(n_tokens, c * {PACK_SEQ_LEN} + {PACK_SEQ_LEN} - st) AS tok_end,
+       GREATEST(c * {PACK_SEQ_LEN}, st) - c * {PACK_SEQ_LEN} AS chunk_pos,
+       n_tokens
+FROM pre,
+     UNNEST(range(st // {PACK_SEQ_LEN},
+                  (st + n_tokens - 1) // {PACK_SEQ_LEN} + 1)) AS t(c)"""
 
     # bigram-LM corpus fit: exact-integer columns only (see
     # _q_lm_corpus_fit for why xent/ppl are not hash-pinned)

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "decontaminate",
     "decontaminate_fuzzy",
     "lm_corpus_fit",
+    # round-5 addition: concat-and-chunk sequence packing
+    "pack_chunks",
 ]
 
 

@@ -20,7 +20,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # already full; its encoder is evidenced in-window
                       # by h3_cells, the ring math by pytest + the
                       # check_contract oracle run
-                      "hex_smooth"}
+                      "hex_smooth",
+                      # round-5 sequence packing, added with the window
+                      # already full; shares the hash-order prefix-sum
+                      # machinery evidenced in-window by
+                      # token_budget_sample, and is oracle-checked by
+                      # check_contract + pinned by tests/test_sampling.py
+                      "pack_chunks"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

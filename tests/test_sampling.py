@@ -118,3 +118,66 @@ def test_token_budget_matches_naive_reference(spark):
         # the oracle-facing single-window formulation must be identical
         # to both the bucketed scale path and the replay
         assert got_naive == want, f"naive diverged, budget={budget}"
+
+
+def test_pack_chunks_matches_naive_and_replay(spark):
+    """Sequence packing: the bucketed global-prefix formulation must
+    match the single-window oracle-facing one row-for-row, and both
+    must match a plain Python replay of concat-and-chunk semantics —
+    including docs long enough to straddle several sequences."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from tilemaker_spark.operators.sampling import (pack_chunks,
+                                                    pack_chunks_naive)
+
+    d = _docs(spark, n=250)
+    # plant straddlers: docs far longer than seq_len
+    long_rows = [Row(doc_id=10_000 + i,
+                     text=" ".join(f"L{j}" for j in range(300)),
+                     lang="en") for i in range(5)]
+    d = d.union(spark.createDataFrame(long_rows, d.schema))
+
+    def key(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    for seq_len in (64, 127, 1024):
+        cols = ("chunk_id", "doc_id", "tok_start", "tok_end", "chunk_pos",
+                "n_tokens")
+        got = sorted(tuple(r[c] for c in cols)
+                     for r in pack_chunks(d, seq_len).collect())
+        got_naive = sorted(tuple(r[c] for c in cols)
+                           for r in pack_chunks_naive(d, seq_len).collect())
+
+        docs = sorted((key(r.doc_id), r.doc_id, len(r.text.split(" ")))
+                      for r in d.collect())
+        want, start = [], 0
+        for _, doc_id, nt in docs:
+            first, last = start // seq_len, (start + nt - 1) // seq_len
+            for c in range(first, last + 1):
+                cs = c * seq_len
+                want.append((c, doc_id, max(0, cs - start),
+                             min(nt, cs + seq_len - start),
+                             max(cs, start) - cs, nt))
+            start += nt
+        want.sort()
+        assert got_naive == want, f"naive diverged, seq_len={seq_len}"
+        assert got == want, f"bucketed diverged, seq_len={seq_len}"
+
+        # packing invariants: every chunk but the last holds exactly
+        # seq_len tokens, and each doc's spans tile [0, n_tokens)
+        per_chunk = {}
+        per_doc = {}
+        for c, doc_id, ts, te, _, nt in got:
+            per_chunk[c] = per_chunk.get(c, 0) + (te - ts)
+            per_doc.setdefault(doc_id, []).append((ts, te, nt))
+        last_chunk = max(per_chunk)
+        assert all(tok == seq_len for c, tok in per_chunk.items()
+                   if c != last_chunk)
+        assert 0 < per_chunk[last_chunk] <= seq_len
+        for doc_id, spans in per_doc.items():
+            spans.sort()
+            assert spans[0][0] == 0
+            assert spans[-1][1] == spans[-1][2]  # ends at n_tokens
+            assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))

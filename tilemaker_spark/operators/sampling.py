@@ -158,3 +158,105 @@ def token_budget_sample(docs: DataFrame, group_col: str,
                     (F.col("take_rank") == 1))
             .drop("_g", "_pb", "_key", "_bucket", "_tok_excl",
                   "_cnt_excl"))
+
+
+def pack_chunks_naive(docs: DataFrame, seq_len: int,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Sequence packing (concat-and-chunk), single-window reference
+    formulation — the ORACLE-FACING variant, a literal transcription of
+    the DuckDB twin (same lesson as :func:`token_budget_sample_naive`).
+
+    Pretraining pipelines don't feed one document per sequence: docs
+    are concatenated in a deterministic order into one global token
+    stream, which is cut into fixed-length training sequences of
+    `seq_len` tokens (GPT-3 appendix B; "packing"). This computes, per
+    document, which sequences (chunks) it lands in and the exact token
+    spans: output (chunk_id, doc_id, tok_start, tok_end, chunk_pos,
+    n_tokens) where [tok_start, tok_end) is the WITHIN-DOC token range
+    that chunk takes and chunk_pos is where it sits inside the chunk.
+    Every chunk except the last sums to exactly seq_len tokens; docs
+    longer than seq_len straddle multiple chunks (truncation-free).
+
+    Order is the shared 60-bit hash key (rerun- and growth-stable up
+    to the stream suffix). The global window here puts the whole
+    corpus in ONE partition — contract-scale only; production uses the
+    bucketed :func:`pack_chunks`, pinned row-identical by pytest.
+    """
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (Window.orderBy("_key", key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = (docs
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("_key", _hash_key(key_col))
+            .withColumn("_start", F.coalesce(F.sum("n_tokens").over(w),
+                                             F.lit(0))))
+    return _finish_pack(base, seq_len)
+
+
+def _finish_pack(base: DataFrame, seq_len: int) -> DataFrame:
+    """Explode (doc, _start, n_tokens) into per-chunk span rows —
+    shared tail of both packer formulations."""
+    first = F.floor(F.col("_start") / seq_len).cast("long")
+    last = (F.floor((F.col("_start") + F.col("n_tokens") - 1) / seq_len)
+            .cast("long"))
+    exploded = base.withColumn(
+        "chunk_id", F.explode(F.sequence(first, last)))
+    cstart = F.col("chunk_id") * seq_len
+    tok_start = F.greatest(F.lit(0), cstart - F.col("_start"))
+    tok_end = F.least(F.col("n_tokens"),
+                      cstart + seq_len - F.col("_start"))
+    chunk_pos = F.greatest(cstart, F.col("_start")) - cstart
+    return (exploded
+            .select("chunk_id", "doc_id",
+                    tok_start.cast("long").alias("tok_start"),
+                    tok_end.cast("long").alias("tok_end"),
+                    chunk_pos.cast("long").alias("chunk_pos"),
+                    "n_tokens"))
+
+
+def pack_chunks(docs: DataFrame, seq_len: int,
+                key_col: str = "doc_id") -> DataFrame:
+    """Scale-path sequence packing: identical output to
+    :func:`pack_chunks_naive`, with the global exclusive prefix sum
+    computed in two levels keyed by the top 12 bits of the hash key
+    (the :func:`token_budget_sample` recipe, minus the group column):
+
+    1. per-bucket token totals — one map-side combinable groupBy into
+       <= 4096 rows;
+    2. a running sum over those buckets — a single window over <= 4096
+       rows (the one intentionally tiny single-partition window),
+       broadcast back;
+    3. per-bucket doc windows (each ~1/4096th of the corpus) offset by
+       the bucket's exclusive total.
+
+    Global token offsets are reconstructed exactly, so chunk identity,
+    spans and positions match the naive plan bit-for-bit (pinned by
+    tests/test_sampling.py). Cost: one extra pass over (key, n_tokens)
+    for the histogram; at web scale materialize the token-count column
+    so that pass never touches text.
+    """
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    key = _hash_key(key_col)
+    base = (docs
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("_key", key)
+            .withColumn("_bucket", F.shiftrightunsigned("_key", 48)))
+
+    hist = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btok"))
+    wb = Window.orderBy("_bucket")
+    prefix = (hist
+              .withColumn("_tok_excl",
+                          F.coalesce(
+                              F.sum("_btok").over(
+                                  wb.rowsBetween(Window.unboundedPreceding,
+                                                 -1)), F.lit(0)))
+              .select(F.col("_bucket").alias("_pb"), "_tok_excl"))
+
+    wd = (Window.partitionBy("_bucket").orderBy("_key", key_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offset = (base.join(F.broadcast(prefix),
+                        F.col("_bucket") == F.col("_pb"))
+              .withColumn("_start",
+                          F.col("_tok_excl") +
+                          F.coalesce(F.sum("n_tokens").over(wd), F.lit(0))))
+    return _finish_pack(offset, seq_len)
