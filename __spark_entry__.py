@@ -408,6 +408,25 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "cum_tokens", "take_rank")
 
 
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb line-wise corrections)
+    over a deterministic lined rendering of the docs table: every doc
+    is wrapped with two corpus-wide boilerplate lines (a cookie banner
+    and a copyright footer — df = |corpus| >> threshold, removed) and
+    one per-doc line (df = 1, kept). The synthetic documents.parquet
+    text has no newlines, so the wrapper is what makes the query
+    exercise real multi-line semantics on BOTH engines identically."""
+    from tilemaker_spark.operators.webtext import remove_boilerplate_lines
+    lined = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("COOKIE NOTICE\nID "),
+                 F.col("doc_id").cast("string"),
+                 F.lit("\n"), F.col("text"),
+                 F.lit("\n(c) 2026 Example Corp")).alias("text"))
+    return remove_boilerplate_lines(lined, max_line_df=50) \
+        .select("doc_id", "text_clean", "n_lines", "n_removed")
+
+
 def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-and-chunk): deterministically order the
     corpus by the shared 60-bit hash key, concatenate into one global
@@ -1142,6 +1161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_contract.py (the prefix-sum machinery it shares
         # is evidenced in-window by token_budget_sample)
         "pack_chunks": _q_pack_chunks,
+        # round-5 line-level boilerplate removal; window full —
+        # oracle-checked by tools/check_contract.py (its curation
+        # siblings pii_scrub/url_host_stats are evidenced in-window)
+        "boilerplate_lines": _q_boilerplate_lines,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1690,6 +1713,32 @@ SELECT c AS chunk_id, doc_id,
 FROM pre,
      UNNEST(range(st // {PACK_SEQ_LEN},
                   (st + n_tokens - 1) // {PACK_SEQ_LEN} + 1)) AS t(c)"""
+
+    q["boilerplate_lines"] = """
+WITH lined AS (
+  SELECT doc_id,
+         'COOKIE NOTICE' || chr(10) || 'ID ' || CAST(doc_id AS VARCHAR)
+         || chr(10) || text || chr(10) || '(c) 2026 Example Corp' AS text
+  FROM documents),
+lns AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+       UNNEST(range(1, len(ls) + 1)) AS t(i)),
+hot AS (
+  SELECT trim(line) AS key FROM lns WHERE trim(line) <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 50),
+kept AS (
+  SELECT doc_id, pos, line FROM lns
+  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT key FROM hot)),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lns GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id"""
 
     # bigram-LM corpus fit: exact-integer columns only (see
     # _q_lm_corpus_fit for why xent/ppl are not hash-pinned)

@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "lm_corpus_fit",
     # round-5 addition: concat-and-chunk sequence packing
     "pack_chunks",
+    # round-5 addition: line-level boilerplate removal
+    "boilerplate_lines",
 ]
 
 

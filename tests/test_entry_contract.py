@@ -26,7 +26,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # machinery evidenced in-window by
                       # token_budget_sample, and is oracle-checked by
                       # check_contract + pinned by tests/test_sampling.py
-                      "pack_chunks"}
+                      "pack_chunks",
+                      # round-5 line-level boilerplate removal, added with
+                      # the window already full; curation siblings
+                      # (pii_scrub, url_host_stats) are in-window, and it
+                      # is oracle-checked by check_contract + replay-pinned
+                      # by tests/test_webtext.py
+                      "boilerplate_lines"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -128,3 +128,54 @@ def test_decontaminate_fuzzy_planted(spark):
     assert set(rows) == {0}
     assert rows[0].n_matches == 1 and rows[0].max_jaccard >= 0.5
     assert rows[0].contaminated
+
+
+def test_remove_boilerplate_lines_matches_replay(spark):
+    """Line-level boilerplate removal vs a plain Python replay on a
+    randomized corpus with planted boilerplate: exact line df across
+    docs, trimmed matching, blank lines preserved, original order
+    reconstruction, all-boilerplate docs kept as empty strings."""
+    import random
+
+    from tilemaker_spark.operators.webtext import remove_boilerplate_lines
+
+    rng = random.Random(7)
+    boiler = ["COOKIE NOTICE", "(c) 2026 Example Corp", "Home | About"]
+    docs = []
+    for d in range(80):
+        lines = []
+        if rng.random() < 0.8:
+            lines.append(rng.choice(boiler))
+        for _ in range(rng.randint(0, 6)):
+            pick = rng.random()
+            if pick < 0.15:
+                lines.append("")                       # blank structure
+            elif pick < 0.3:
+                lines.append("  %s  " % rng.choice(boiler))  # padded dup
+            else:
+                lines.append(f"body {d} {rng.randint(0, 9)}")
+        if rng.random() < 0.3:
+            lines.append(rng.choice(boiler))
+        docs.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    k = 5
+    got = {r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+           for r in remove_boilerplate_lines(df, max_line_df=k).collect()}
+
+    dfreq = {}
+    for doc_id, text in docs:
+        for ln in {l.strip() for l in text.split("\n") if l.strip()}:
+            dfreq[ln] = dfreq.get(ln, 0) + 1
+    want = {}
+    for doc_id, text in docs:
+        lines = text.split("\n")
+        kept = [l for l in lines
+                if not l.strip() or dfreq[l.strip()] <= k]
+        want[doc_id] = ("\n".join(kept), len(lines),
+                        len(lines) - len(kept))
+    assert got == want
+    # the planted boilerplate is actually hot (sanity of the fixture)
+    assert all(dfreq[b] > k for b in boiler)
+    # and at least one doc lost a padded (trim-matched) variant
+    assert any(g[2] > 0 for g in got.values())

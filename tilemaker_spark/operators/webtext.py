@@ -198,3 +198,68 @@ def decontaminate_fuzzy(docs: DataFrame, benchmark: DataFrame,
            .withColumn("contaminated", F.lit(True)))
     out._internal_persists = getattr(pairs, "_internal_persists", [])
     return out
+
+
+def remove_boilerplate_lines(docs: DataFrame, max_line_df: int = 2,
+                             text_col: str = "text") -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb "line-wise
+    corrections" / CCNet paragraph-dedup shape): drop every line whose
+    exact trimmed form appears in MORE THAN ``max_line_df`` distinct
+    documents — cookie banners, nav bars, copyright footers — and
+    rebuild each document's text from its surviving lines in original
+    order. Blank lines are document structure, not boilerplate: they
+    are excluded from the frequency statistics and never removed.
+
+    Returns one row per input doc (total over ``docs``):
+    (doc_id, text_clean, n_lines, n_removed).
+
+    Scale shape (no reference analog; corpus-curation extension):
+    1. `posexplode(split(text))` — pure per-partition fan-out;
+    2. line document-frequency — ONE map-side-combinable groupBy on
+       the md5 of the trimmed line. Boilerplate lines are by
+       definition the hot keys, but partial aggregation collapses
+       each executor's occurrences to one row before the exchange,
+       so the shuffle moves O(distinct lines), not O(occurrences);
+    3. the hot set (df > threshold) flows into a LEFT ANTI equi-join
+       — AQE broadcasts it when small (the usual case: boilerplate
+       is a tiny fraction of distinct lines), and degrades to a hash
+       join, never a driver collect, when it isn't;
+    4. reconstruction — one groupBy(doc_id) with
+       array_sort(collect_list(struct(pos, line))): a single hash
+       shuffle on doc_id, the same key the downstream per-doc
+       operators already partition by. A doc-id spine left-join makes
+       all-boilerplate docs come back as empty strings instead of
+       vanishing.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    key = F.md5(F.trim("line"))
+    hot = (lines
+           .filter(F.trim("line") != "")
+           .groupBy(key.alias("_lh"))
+           .agg(F.count_distinct("doc_id").alias("_df"))
+           .filter(F.col("_df") > max_line_df)
+           .select("_lh"))
+    kept = (lines
+            .filter(F.trim("line") != "")
+            .join(hot, key == F.col("_lh"), "left_anti")
+            .unionByName(lines.filter(F.trim("line") == "")))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("text_clean"),
+                    F.count("*").alias("_n_kept")))
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (docs.select("doc_id")
+            .join(totals, "doc_id")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    (F.col("n_lines") -
+                     F.coalesce("_n_kept", F.lit(0))).cast("long")
+                    .alias("n_removed")))

@@ -30,7 +30,7 @@ AUDIT = [
     # round 4
     "s2_cells", "html_extract", "pii_scrub", "url_dedup_latest",
     # round 5
-    "h3_cells", "hex_smooth", "pack_chunks",
+    "h3_cells", "hex_smooth", "pack_chunks", "boilerplate_lines",
     "simhash_pairs_wide", "dedup_incremental", "span_dedup",
     "lm_corpus_fit", "stratified_sample", "token_budget_sample",
     "dedup_clusters", "decontaminate", "decontaminate_fuzzy",
