@@ -427,6 +427,25 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_clean", "n_lines", "n_removed")
 
 
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank (3 iterations, d=0.85, dangling mass
+    redistributed) over a deterministic 50-host link graph derived
+    from the docs table: src = doc_id % 50, dst = md5-derived % 50 —
+    the same in-query synthesis trick as boilerplate_lines, since the
+    synthetic corpus carries no link column. Ranks are rounded to 6
+    decimals at EVERY iteration on both engines, so the chained-CTE
+    DuckDB twin replays the identical recurrence (the round-before-use
+    contract rule)."""
+    from tilemaker_spark.operators.webtext import host_pagerank
+    h = (F.conv(F.substring(F.md5((F.col("doc_id") * 31).cast("string")),
+                            1, 8), 16, 10).cast("long") % 50)
+    edges = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 50).alias("src"), h.alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    out = host_pagerank(edges, iters=3, damping=0.85)
+    return out.select("node", "rank")
+
+
 def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-and-chunk): deterministically order the
     corpus by the shared 60-bit hash key, concatenate into one global
@@ -1165,6 +1184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked by tools/check_contract.py (its curation
         # siblings pii_scrub/url_host_stats are evidenced in-window)
         "boilerplate_lines": _q_boilerplate_lines,
+        # round-5 link-graph centrality (iterative); window full —
+        # oracle-checked by tools/check_contract.py against a
+        # chained-CTE replay of the same rounded recurrence
+        "host_pagerank": _q_host_pagerank,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1739,6 +1762,43 @@ SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean,
        CAST(t.n_lines AS BIGINT) AS n_lines,
        CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id"""
+
+    # host_pagerank: chained-CTE replay of the identical rounded
+    # recurrence — (1 - 0.85) is written as the SUBTRACTION on both
+    # sides so the engines share the exact double, and every rank is
+    # rounded to 6 decimals per iteration (round-before-use rule)
+    _pr_iter = """
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank / d.deg) AS contrib
+  FROM edges e JOIN r{p} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst),
+dg{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0) AS dang
+  FROM r{p} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+r{i} AS (
+  SELECT n.node,
+         ROUND((1 - 0.85) / (SELECT n FROM nn) +
+               0.85 * (COALESCE(c.contrib, 0) +
+                       (SELECT dang FROM dg{i}) / (SELECT n FROM nn)),
+               6) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
+    q["host_pagerank"] = ("""
+WITH edges AS (
+  SELECT doc_id % 50 AS src,
+         CAST(('0x' || substr(md5(CAST(doc_id * 31 AS VARCHAR)), 1, 8))
+              AS BIGINT) % 50 AS dst
+  FROM documents
+  WHERE doc_id % 50 <>
+        CAST(('0x' || substr(md5(CAST(doc_id * 31 AS VARCHAR)), 1, 8))
+             AS BIGINT) % 50),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 6) AS rank
+       FROM nodes),"""
+        + ",".join(_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+SELECT node, rank FROM r3""")
 
     # bigram-LM corpus fit: exact-integer columns only (see
     # _q_lm_corpus_fit for why xent/ppl are not hash-pinned)

@@ -32,7 +32,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # (pii_scrub, url_host_stats) are in-window, and it
                       # is oracle-checked by check_contract + replay-pinned
                       # by tests/test_webtext.py
-                      "boilerplate_lines"}
+                      "boilerplate_lines",
+                      # round-5 link-graph PageRank, added with the window
+                      # already full; its iterative machinery is evidenced
+                      # in-window by dedup_clusters, and it is
+                      # oracle-checked by check_contract (chained-CTE twin)
+                      # + replay-pinned by tests/test_webtext.py
+                      "host_pagerank"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -179,3 +179,39 @@ def test_remove_boilerplate_lines_matches_replay(spark):
     assert all(dfreq[b] > k for b in boiler)
     # and at least one doc lost a padded (trim-matched) variant
     assert any(g[2] > 0 for g in got.values())
+
+
+def test_host_pagerank_matches_replay_and_conserves_mass(spark):
+    """PageRank vs a plain Python replay of the same rounded
+    recurrence on a random multigraph with dangling nodes; rank mass
+    stays 1 (dangling redistribution really happens)."""
+    import collections
+    import random
+
+    from tilemaker_spark.operators.webtext import host_pagerank
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(50)) for _ in range(300)]
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    for iters, damping in ((1, 0.85), (4, 0.85), (3, 0.5)):
+        out = host_pagerank(df, iters=iters, damping=damping)
+        got = {r.node: r.rank for r in out.collect()}
+        for h in out._internal_persists:
+            h.unpersist()
+
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        n = len(nodes)
+        deg = collections.Counter(s for s, _ in edges)
+        r = {v: round(1.0 / n, 6) for v in nodes}
+        for _ in range(iters):
+            contrib = collections.defaultdict(float)
+            for s, d in edges:
+                contrib[d] += r[s] / deg[s]
+            dang = sum(r[v] for v in nodes if deg[v] == 0)
+            r = {v: round((1 - damping) / n +
+                          damping * (contrib.get(v, 0.0) + dang / n), 6)
+                 for v in nodes}
+        assert got == r, f"diverged at iters={iters}, d={damping}"
+        assert abs(sum(got.values()) - 1.0) < 1e-3

@@ -263,3 +263,80 @@ def remove_boilerplate_lines(docs: DataFrame, max_line_df: int = 2,
                     (F.col("n_lines") -
                      F.coalesce("_n_kept", F.lit(0))).cast("long")
                     .alias("n_removed")))
+
+
+def host_pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+                  round_decimals: int = 6, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """Host-level PageRank over the web link graph — the link-based
+    quality signal large crawls rank hosts by (the Common-Crawl
+    host-ranking shape) and a standard doc-quality weighting input for
+    training-mix curation. Input is an edge list (src host, dst host);
+    multi-edges count as parallel links. Returns (node, rank) for every
+    host that appears on either side, after ``iters`` rounds of
+
+        rank'(v) = (1 - d)/N + d * (SUM_{u->v} rank(u)/deg(u)
+                                     + dangling_mass/N)
+
+    with the dangling (no-outlink) mass redistributed uniformly —
+    the correct handling, not the drop-it shortcut.
+
+    Engine-portability contract: the rank is ROUNDED to
+    ``round_decimals`` at EVERY iteration, so a DuckDB oracle running
+    the same chained-CTE recurrence sees bit-identical inputs each
+    round and the only cross-engine difference is summation order
+    (last-ulp noise far below the rounding grain) — the same
+    round-before-use rule the kNN/cosine contract queries follow.
+
+    Scale shape: each iteration is one equi-join of the rank vector
+    against the edge list plus one map-side-combinable groupBy(dst) —
+    the rank vector is O(hosts), orders of magnitude smaller than the
+    corpus, and the dangling mass and 1/N terms ride along as
+    broadcast one-row scalars (no driver collect; the single
+    ``count()`` action sizes N = number of hosts). Lineage is
+    checkpoint-truncated every round exactly like
+    :func:`~tilemaker_spark.operators.dedup.connected_components`
+    (Catalyst re-analysis goes superlinear on a growing iterative
+    plan otherwise).
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+
+    sc = edges.sparkSession.sparkContext
+    has_ckpt_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+
+    def truncate(df):
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
+    base = F.lit(1.0 - damping) / F.lit(n)
+    ranks = truncate(nodes.withColumn(
+        "rank", F.round(F.lit(1.0) / F.lit(n), round_decimals)))
+    persists = [e, nodes]
+    for _ in range(iters):
+        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(deg, "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") / F.col("deg"))
+                        .alias("contrib")))
+        dang = (ranks.join(deg.select(F.col("src").alias("node")),
+                           "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")))
+        ranks = truncate(
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select("node",
+                    F.round(base + F.lit(damping) *
+                            (F.coalesce("contrib", F.lit(0.0)) +
+                             F.col("dang") / F.lit(n)),
+                            round_decimals).alias("rank")))
+    ranks._internal_persists = persists
+    return ranks
