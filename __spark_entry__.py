@@ -427,6 +427,26 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_clean", "n_lines", "n_removed")
 
 
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier inference (the GPT-3/LLaMA
+    classifier-filter stage) with a deterministic md5-derived weight
+    vector over 1024 hash buckets — synthesized identically on both
+    engines, since no trained model ships with the synthetic corpus.
+    logit rounded before the sigmoid (round-before-use rule)."""
+    from tilemaker_spark.operators.text_analysis import classifier_score
+    # denominator 1024 = 2^10: every weight is an exactly-representable
+    # dyadic double, so per-doc weight SUMS are exact and
+    # order-independent on both engines (a /1000 weight vector produced
+    # a 6th-decimal rounding-boundary flip on one sf0.01 doc)
+    w = ((F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                 16, 10).cast("long") % 2001 - 1000) / F.lit(1024.0))
+    weights = spark.range(1024).select(F.col("id").alias("bucket"),
+                                       w.alias("weight"))
+    return classifier_score(_docs(spark, sf_dir), weights,
+                            n_buckets=1024, bias=0.25) \
+        .select("doc_id", "n_tokens", "logit", "prob", "keep")
+
+
 def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (3 iterations, d=0.85, dangling mass
     redistributed) over a deterministic 50-host link graph derived
@@ -1188,6 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked by tools/check_contract.py against a
         # chained-CTE replay of the same rounded recurrence
         "host_pagerank": _q_host_pagerank,
+        # round-5 classifier-filter stage; window full — oracle-checked
+        # by tools/check_contract.py (quality_score, its heuristic
+        # sibling, is evidenced in-window)
+        "classifier_score": _q_classifier_score,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1799,6 +1823,31 @@ r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 6) AS rank
         + ",".join(_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
         + """
 SELECT node, rank FROM r3""")
+
+    q["classifier_score"] = """
+WITH weights AS (
+  SELECT i AS bucket,
+         (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 2001 - 1000) / 1024.0 AS weight
+  FROM range(1024) t(i)),
+toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)),
+agg AS (
+  SELECT t.doc_id, SUM(w.weight) AS wsum,
+         COUNT(*) AS n_tokens
+  FROM toks t JOIN weights w ON t.bucket = w.bucket
+  GROUP BY t.doc_id),
+scored AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROUND(0.25 + wsum / n_tokens, 6) AS logit
+  FROM agg)
+SELECT doc_id, n_tokens, logit,
+       ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+       (ROUND(1.0 / (1.0 + exp(-logit)), 6) >= 0.5) AS keep
+FROM scored"""
 
     # bigram-LM corpus fit: exact-integer columns only (see
     # _q_lm_corpus_fit for why xent/ppl are not hash-pinned)

@@ -38,7 +38,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # in-window by dedup_clusters, and it is
                       # oracle-checked by check_contract (chained-CTE twin)
                       # + replay-pinned by tests/test_webtext.py
-                      "host_pagerank"}
+                      "host_pagerank",
+                      # round-5 classifier-filter inference, added with the
+                      # window already full; heuristic sibling quality_score
+                      # is in-window, and it is oracle-checked by
+                      # check_contract (dyadic exact-sum weights) +
+                      # replay-pinned by tests/test_webtext.py
+                      "classifier_score"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

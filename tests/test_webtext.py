@@ -215,3 +215,59 @@ def test_host_pagerank_matches_replay_and_conserves_mass(spark):
                  for v in nodes}
         assert got == r, f"diverged at iters={iters}, d={damping}"
         assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_classifier_score_matches_replay(spark):
+    """Hashed linear classifier inference vs a Python replay: md5
+    feature hashing, mean-of-weights logit, rounded-logit sigmoid,
+    threshold keep — on a random corpus with a deterministic
+    md5-derived weight vector."""
+    import hashlib
+    import math
+    import random
+
+    from tilemaker_spark.operators.text_analysis import classifier_score
+
+    n_buckets = 64
+    rng = random.Random(13)
+    docs = [(d, " ".join(f"w{rng.randint(0, 200)}"
+                         for _ in range(rng.randint(1, 40))))
+            for d in range(120)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    # dyadic denominator: weights (and so their sums) are exact doubles,
+    # making the replay independent of summation order — same rule the
+    # contract query follows
+    wrows = [(b, ((b * 37) % 21 - 10) / 16.0) for b in range(n_buckets)]
+    wdf = spark.createDataFrame(wrows, "bucket long, weight double")
+
+    got = {r.doc_id: (r.n_tokens, r.logit, r.prob, r.keep)
+           for r in classifier_score(ddf, wdf, n_buckets=n_buckets,
+                                     bias=0.25).collect()}
+
+    w = dict(wrows)
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    # engine rounding semantics: Spark's F.round (and DuckDB's round)
+    # round HALF AWAY FROM ZERO on the shortest decimal representation
+    # (Java BigDecimal.valueOf); Python's round is half-to-even on the
+    # exact double — they differ on true decimal ties, which this
+    # fixture hits (dyadic wsum / n with n divisible by 5 lands on
+    # exact 7-decimal values like 0.2796875)
+    import decimal
+
+    def eround(x, nd=6):
+        return float(decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(f"1e-{nd}"),
+            rounding=decimal.ROUND_HALF_UP))
+
+    want = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        logit = eround(0.25 + sum(w[bucket(t)] for t in toks) / len(toks))
+        prob = eround(1.0 / (1.0 + math.exp(-logit)))
+        want[doc_id] = (len(toks), logit, prob, prob >= 0.5)
+    assert got == want
+    # fixture sanity: both classes occur
+    assert {v[3] for v in got.values()} == {True, False}

@@ -342,3 +342,50 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.round(F.sum("value"), 6).alias("total_value"))
             .select("user_id", "session_no", "n_events", "started_epoch",
                     "duration_s", "total_value"))
+
+
+def classifier_score(docs: DataFrame, weights: DataFrame,
+                     n_buckets: int = 1024, bias: float = 0.0,
+                     threshold: float = 0.5,
+                     round_decimals: int = 6) -> DataFrame:
+    """Hashed linear quality-classifier inference — the
+    fasttext-style "classifier filter" stage of a GPT-3/LLaMA-shape
+    curation pipeline (score every document against a trained linear
+    model over hashed bag-of-words features, keep above threshold).
+    Training happens offline; this is the corpus-scale INFERENCE pass.
+
+    ``weights`` is the model: (bucket: long, weight: double) with
+    buckets in [0, n_buckets). Each token hashes to a bucket via the
+    shared md5 60-bit key recipe mod n_buckets (the engine-portable
+    feature-hashing trick — no vocab file to ship, collisions are part
+    of the model exactly as in fasttext's hashing trick);
+    logit = bias + mean(bucket weights over the doc's tokens);
+    prob = sigmoid(logit). Returns (doc_id, n_tokens, logit, prob,
+    keep). logit is rounded to ``round_decimals`` BEFORE the sigmoid
+    so a DuckDB oracle computes exp() from the identical double
+    (round-before-use rule), and prob is rounded after.
+
+    Scale shape: one explode, one BROADCAST join against the O(buckets)
+    weight vector (a model of any realistic width fits), one
+    map-side-combinable groupBy(doc_id) — the corpus text is scanned
+    once and never shuffled; only (doc_id, partial sums) move.
+    """
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+              .cast("long") % n_buckets)
+    agg = (toks.withColumn("bucket", bucket)
+           .join(F.broadcast(weights), "bucket")
+           .groupBy("doc_id")
+           .agg(F.sum("weight").alias("_wsum"),
+                F.count("*").alias("n_tokens")))
+    logit = F.round(F.lit(bias) + F.col("_wsum") / F.col("n_tokens"),
+                    round_decimals)
+    return (agg
+            .withColumn("logit", logit)
+            .withColumn("prob",
+                        F.round(F.lit(1.0) /
+                                (F.lit(1.0) + F.exp(-F.col("logit"))),
+                                round_decimals))
+            .withColumn("keep", (F.col("prob") >= threshold))
+            .select("doc_id", "n_tokens", "logit", "prob", "keep"))
