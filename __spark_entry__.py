@@ -447,6 +447,14 @@ def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "logit", "prob", "keep")
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 keywords per document by the tf/df rarity score (exact
+    IEEE division — engine-portable, unlike libm ln; see operator
+    docstring), ties broken by term."""
+    from tilemaker_spark.operators.text_analysis import tfidf_keywords
+    return tfidf_keywords(_docs(spark, sf_dir), k=5, min_len=2)
+
+
 def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (3 iterations, d=0.85, dangling mass
     redistributed) over a deterministic 50-host link graph derived
@@ -1212,6 +1220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check_contract.py (quality_score, its heuristic
         # sibling, is evidenced in-window)
         "classifier_score": _q_classifier_score,
+        # round-5 keyword extraction; window full — oracle-checked by
+        # tools/check_contract.py (token_stats/quality_score cover the
+        # per-doc text-stat family in-window)
+        "tfidf_keywords": _q_tfidf_keywords,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1848,6 +1860,28 @@ SELECT doc_id, n_tokens, logit,
        ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
        (ROUND(1.0 / (1.0 + exp(-logit)), 6) >= 0.5) AS keep
 FROM scored"""
+
+    # tf/df keyword score: a single IEEE division of two BIGINTs is
+    # correctly rounded on both engines, so the rounded score (and the
+    # ranking derived from it) is hash-pinnable — unlike ln-based tfidf
+    q["tfidf_keywords"] = """
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE length(tok) >= 2),
+dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+scored AS (
+  SELECT dt.doc_id, dt.term, dt.tf, f.df,
+         ROUND(CAST(dt.tf AS DOUBLE) / f.df, 6) AS score
+  FROM dt JOIN dfreq f USING (term)),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INT) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 5"""
 
     # bigram-LM corpus fit: exact-integer columns only (see
     # _q_lm_corpus_fit for why xent/ppl are not hash-pinned)

@@ -44,7 +44,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # is in-window, and it is oracle-checked by
                       # check_contract (dyadic exact-sum weights) +
                       # replay-pinned by tests/test_webtext.py
-                      "classifier_score"}
+                      "classifier_score",
+                      # round-5 keyword extraction, added with the window
+                      # already full; per-doc text-stat family is in-window
+                      # (token_stats, quality_score), and it is
+                      # oracle-checked by check_contract (exact-division
+                      # tf/df score) + replay-pinned by tests/test_webtext.py
+                      "tfidf_keywords"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

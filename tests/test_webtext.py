@@ -271,3 +271,49 @@ def test_classifier_score_matches_replay(spark):
     assert got == want
     # fixture sanity: both classes occur
     assert {v[3] for v in got.values()} == {True, False}
+
+
+def test_tfidf_keywords_matches_replay(spark):
+    """Top-k keyword extraction vs a Python replay: whitespace
+    tokenization with a min-length gate, tf/df exact-division score
+    rounded before ranking, term tie-break, rnk 1..k per doc."""
+    import decimal
+    import random
+    from collections import Counter
+
+    from tilemaker_spark.operators.text_analysis import tfidf_keywords
+
+    rng = random.Random(7)
+    # short skewed vocab: common terms (low score) vs rare terms (high),
+    # plus 1-char tokens the min_len gate must drop
+    vocab = [f"t{i}" for i in range(30)] + ["x"]
+    docs = [(d, " ".join(rng.choice(vocab[: rng.randint(3, len(vocab))])
+                         for _ in range(rng.randint(2, 50))))
+            for d in range(80)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    k = 4
+    res = tfidf_keywords(ddf, k=k, min_len=2)
+    got = {(r.doc_id, r.rnk): (r.term, r.tf, r.df, r.score)
+           for r in res.collect()}
+    for h in res._internal_persists:
+        h.unpersist()
+
+    def eround(x, nd=6):
+        return float(decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(f"1e-{nd}"),
+            rounding=decimal.ROUND_HALF_UP))
+
+    tf = {d: Counter(t for t in text.split(" ") if len(t) >= 2)
+          for d, text in docs}
+    df = Counter(t for c in tf.values() for t in c)
+    want = {}
+    for d, c in tf.items():
+        ranked = sorted(((eround(n / df[t]), t, n) for t, n in c.items()),
+                        key=lambda s: (-s[0], s[1]))
+        for i, (score, t, n) in enumerate(ranked[:k], 1):
+            want[(d, i)] = (t, n, df[t], score)
+    assert got == want
+    # fixture sanity: gate dropped 1-char tokens; scores discriminate
+    assert not any(v[0] == "x" for v in got.values())
+    assert len({v[3] for v in got.values()}) > 5

@@ -389,3 +389,53 @@ def classifier_score(docs: DataFrame, weights: DataFrame,
                                 round_decimals))
             .withColumn("keep", (F.col("prob") >= threshold))
             .select("doc_id", "n_tokens", "logit", "prob", "keep"))
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5, min_len: int = 2,
+                   round_decimals: int = 6) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms of each doc by
+    a tf-idf-shape rarity score (topic tagging / corpus-drift analysis
+    over a crawl — "what is this page about" without a model).
+
+    Score = tf / df — term frequency in the doc over document
+    frequency in the corpus. A single IEEE-754 division is CORRECTLY
+    ROUNDED by spec, so Spark and any SQL oracle compute the identical
+    double from identical integer inputs; the classical tf·ln(N/df)
+    ranks by a libm call whose last ulp is NOT portable across engines
+    (same reason lm_corpus_fit hash-pins only integer columns). tf/df
+    is monotone in tf and anti-monotone in df — the same keyword
+    ordering tf-idf targets. Rounded BEFORE ranking (round-before-use
+    rule), ties broken by term.
+
+    Returns (doc_id, term, tf, df, score, rnk), rnk 1..k per doc.
+
+    Scale shape: tokenize-and-count is one map-side-combinable
+    groupBy(doc_id, term); df is a second partial agg over that result
+    (already distinct per doc — no countDistinct shuffle of raw
+    tokens); the join back is term-keyed on two already-aggregated
+    O(doc·vocab) tables, never the raw token stream. The per-doc
+    window partitions on doc_id — millions of independent partitions,
+    each bounded by the doc's vocabulary, no global sort. The doc-term
+    table feeds two branches, so it is persisted and exposed via
+    ``_internal_persists`` (caller releases).
+    """
+    from pyspark.sql import Window
+
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.length("term") >= min_len))
+    dt = (toks.groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf"))
+          .persist())
+    dfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (dt.join(dfreq, "term")
+              .withColumn("score",
+                          F.round(F.col("tf") / F.col("df"),
+                                  round_decimals)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                             F.asc("term"))
+    out = (scored.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= k)
+           .select("doc_id", "term", "tf", "df", "score", "rnk"))
+    out._internal_persists = [dt]
+    return out
