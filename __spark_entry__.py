@@ -447,6 +447,36 @@ def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "logit", "prob", "keep")
 
 
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction over synthesized HTML: each page carries two
+    absolute anchors (doc_id-derived target hosts), a relative anchor
+    (must be dropped), and every 4th page an UPPERCASE-scheme
+    www-prefixed anchor (exercises scheme case-insensitivity + host
+    normalization). The oracle is a CLOSED FORM over the same doc_id
+    math — independent of any regex engine — so it checks extraction
+    semantics, not just Spark==DuckDB."""
+    from tilemaker_spark.operators.webtext import extract_links
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+
+    def anchor(mult, add):
+        return F.concat(F.lit('<a href="https://site'),
+                        ((did * mult + add) % HOST_MOD).cast("string"),
+                        F.lit('.example/x">l</a>'))
+
+    html = F.concat(
+        F.lit("<html><body><p>intro</p>"), anchor(7, 1),
+        F.lit('<a href="/rel/path">rel</a>'), anchor(13, 5),
+        F.when(did % 4 == 0,
+               F.concat(F.lit('<a href="HTTP://WWW.Site'),
+                        ((did * 3 + 2) % HOST_MOD).cast("string"),
+                        F.lit('.EXAMPLE/y">c</a>'))).otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    pages = d.select(_synth_url().alias("url"),
+                     F.encode(html, "utf-8").alias("html"))
+    return extract_links(pages)
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 keywords per document by the tf/df rarity score (exact
     IEEE division — engine-portable, unlike libm ln; see operator
@@ -1224,6 +1254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_contract.py (token_stats/quality_score cover the
         # per-doc text-stat family in-window)
         "tfidf_keywords": _q_tfidf_keywords,
+        # round-5 link-graph ingest (feeds host_pagerank); window full —
+        # oracle-checked by tools/check_contract.py against a closed-form
+        # doc_id-math twin (url_host_stats covers URL parsing in-window)
+        "extract_links": _q_extract_links,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1860,6 +1894,25 @@ SELECT doc_id, n_tokens, logit,
        ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
        (ROUND(1.0 / (1.0 + exp(-logit)), 6) >= 0.5) AS keep
 FROM scored"""
+
+    # closed-form link-graph twin: edges derived from the same doc_id
+    # math that synthesized the HTML — no regex engine on the oracle
+    # side, so this checks extraction semantics end to end
+    q["extract_links"] = f"""
+WITH docs AS (SELECT doc_id AS d FROM documents),
+links AS (
+  SELECT d % {HOST_MOD} AS s, (7 * d + 1) % {HOST_MOD} AS t FROM docs
+  UNION ALL
+  SELECT d % {HOST_MOD}, (13 * d + 5) % {HOST_MOD} FROM docs
+  UNION ALL
+  SELECT d % {HOST_MOD}, (3 * d + 2) % {HOST_MOD} FROM docs
+  WHERE d % 4 = 0),
+edges AS (
+  SELECT 'site' || s || '.example' AS src_host,
+         'site' || t || '.example' AS dst_host
+  FROM links WHERE s <> t)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM edges GROUP BY 1, 2"""
 
     # tf/df keyword score: a single IEEE division of two BIGINTs is
     # correctly rounded on both engines, so the rounded score (and the

@@ -50,7 +50,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # (token_stats, quality_score), and it is
                       # oracle-checked by check_contract (exact-division
                       # tf/df score) + replay-pinned by tests/test_webtext.py
-                      "tfidf_keywords"}
+                      "tfidf_keywords",
+                      # round-5 link-graph ingest, added with the window
+                      # already full; URL-parsing sibling url_host_stats is
+                      # in-window, and it is oracle-checked by check_contract
+                      # (closed-form doc_id-math twin) + edge-case-pinned by
+                      # tests/test_webtext.py
+                      "extract_links"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -317,3 +317,36 @@ def test_tfidf_keywords_matches_replay(spark):
     # fixture sanity: gate dropped 1-char tokens; scores discriminate
     assert not any(v[0] == "x" for v in got.values())
     assert len({v[3] for v in got.values()}) > 5
+
+
+def test_extract_links_edge_cases(spark):
+    """href parsing over adversarial cases: relative links, mailto,
+    empty host, uppercase scheme, www/case normalization, ports and
+    query strings stopping the host capture, self-loops dropped,
+    multi-edge counting."""
+    from tilemaker_spark.operators.webtext import extract_links
+
+    pages = [
+        # two links to b.com (one www/uppercase), one to c.org:8080,
+        # plus droppables: relative, mailto, anchor-only, empty host
+        ("https://www.A.com/page1",
+         '<a href="https://b.com/x">1</a>'
+         '<a href="HTTPS://WWW.B.COM/y?q=1">2</a>'
+         '<a href="http://c.org:8080/z">3</a>'
+         '<a href="/relative">r</a>'
+         '<a href="mailto:u@d.com">m</a>'
+         '<a href="#frag">f</a>'
+         '<a href="https://">empty</a>'),
+        # self-loop (www-stripped both sides) dropped; ftp scheme dropped
+        ("http://a.com/page2",
+         '<a href="https://www.a.com/self">s</a>'
+         '<a href="ftp://d.net/f">ftp</a>'
+         '<a href="https://b.com/again">4</a>'),
+        # page with no links at all
+        ("https://lonely.net/", "<html>no anchors</html>"),
+    ]
+    pdf = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary")
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in extract_links(pdf).collect()}
+    assert got == {("a.com", "b.com"): 3, ("a.com", "c.org"): 1}

@@ -52,6 +52,45 @@ def url_host_stats(pages: DataFrame) -> DataFrame:
                     "total_chars", "avg_chars"))
 
 
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """Outlink extraction and host-level link-graph aggregation — the
+    ingest step that turns raw crawled HTML into the (src_host,
+    dst_host, n_links) edge list `host_pagerank` consumes (and
+    anchor-graph analyses generally).
+
+    Parses double-quoted ``href="..."`` attributes out of the page
+    bytes with one regexp_extract_all (Java/RE2 common subset — no
+    lookaround; single-quoted/unquoted attributes are a documented
+    non-goal of the synthetic contract), keeps absolute http(s)
+    targets only (relative links never cross hosts), normalizes src
+    and dst hosts exactly like `url_host_stats` (lowercase, leading
+    ``www.`` stripped, port/path/query dropped by the host capture),
+    drops self-loops and hostless targets, and aggregates.
+
+    Scale shape: the HTML bytes are scanned ONCE in whole-stage
+    codegen (decode + regexp_extract_all + explode — no Python, and
+    page bodies are never shuffled); only (src_host, dst_host) pairs
+    enter the single map-side-combinable groupBy, so the shuffle moves
+    the link graph, never the corpus.
+    """
+    hrefs = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"), F.lit('href="([^"]*)"'), 1)
+    src = F.regexp_replace(
+        F.lower(F.regexp_extract(url_col, HOST_RE, 1)), "^www\\.", "")
+    links = (pages
+             .select(src.alias("src_host"),
+                     F.explode(hrefs).alias("href"))
+             .filter(F.col("href").rlike("^[Hh][Tt][Tt][Pp][Ss]?://")))
+    dst = F.regexp_replace(
+        F.lower(F.regexp_extract("href", HOST_RE, 1)), "^www\\.", "")
+    return (links.withColumn("dst_host", dst)
+            .filter((F.col("dst_host") != "") &
+                    (F.col("dst_host") != F.col("src_host")))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links")))
+
+
 def pii_scrub(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Detect and redact common PII spans (emails, IPv4 addresses,
     short phone numbers). Returns per-page counts plus the scrubbed
