@@ -447,16 +447,12 @@ def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "logit", "prob", "keep")
 
 
-def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlink extraction over synthesized HTML: each page carries two
+def _synth_link_pages(d: DataFrame) -> DataFrame:
+    """Pages with deterministically synthesized linky HTML: two
     absolute anchors (doc_id-derived target hosts), a relative anchor
     (must be dropped), and every 4th page an UPPERCASE-scheme
     www-prefixed anchor (exercises scheme case-insensitivity + host
-    normalization). The oracle is a CLOSED FORM over the same doc_id
-    math — independent of any regex engine — so it checks extraction
-    semantics, not just Spark==DuckDB."""
-    from tilemaker_spark.operators.webtext import extract_links
-    d = _docs(spark, sf_dir)
+    normalization). Shared by extract_links and link_pipeline."""
     did = F.col("doc_id")
 
     def anchor(mult, add):
@@ -472,9 +468,32 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ((did * 3 + 2) % HOST_MOD).cast("string"),
                         F.lit('.EXAMPLE/y">c</a>'))).otherwise(F.lit("")),
         F.lit("</body></html>"))
-    pages = d.select(_synth_url().alias("url"),
-                     F.encode(html, "utf-8").alias("html"))
-    return extract_links(pages)
+    return d.select(_synth_url().alias("url"),
+                    F.encode(html, "utf-8").alias("html"))
+
+
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction over synthesized HTML (see
+    _synth_link_pages). The oracle is a CLOSED FORM over the same
+    doc_id math — independent of any regex engine — so it checks
+    extraction semantics, not just Spark==DuckDB."""
+    from tilemaker_spark.operators.webtext import extract_links
+    return extract_links(_synth_link_pages(_docs(spark, sf_dir)))
+
+
+def _q_link_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end link-graph pipeline: raw HTML bytes -> outlink
+    extraction -> distinct host edges -> 3-iteration PageRank with
+    dangling-mass redistribution. The oracle composes the closed-form
+    link synthesis with the same chained-CTE rounded recurrence the
+    host_pagerank twin replays — the full path from page bytes to
+    centrality scores is hash-pinned."""
+    from tilemaker_spark.operators.webtext import extract_links, host_pagerank
+    edges = (extract_links(_synth_link_pages(_docs(spark, sf_dir)))
+             .select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst")))
+    return host_pagerank(edges, iters=3, damping=0.85) \
+        .select("node", "rank")
 
 
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,6 +1277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked by tools/check_contract.py against a closed-form
         # doc_id-math twin (url_host_stats covers URL parsing in-window)
         "extract_links": _q_extract_links,
+        # round-5 chained flagship for the webtext graph path (HTML ->
+        # outlinks -> PageRank); window full — oracle-checked by
+        # tools/check_contract.py (closed-form links + chained-CTE rank)
+        "link_pipeline": _q_link_pipeline,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1861,6 +1884,32 @@ WITH edges AS (
   WHERE doc_id % 50 <>
         CAST(('0x' || substr(md5(CAST(doc_id * 31 AS VARCHAR)), 1, 8))
              AS BIGINT) % 50),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 6) AS rank
+       FROM nodes),"""
+        + ",".join(_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+SELECT node, rank FROM r3""")
+
+    # link_pipeline: the extract_links closed form feeding the same
+    # chained-CTE PageRank recurrence — page bytes to centrality
+    # scores, hash-pinned end to end (DISTINCT host pairs: the
+    # extract_links aggregation collapses multiplicity before ranking)
+    q["link_pipeline"] = (f"""
+WITH docs AS (SELECT doc_id AS d FROM documents),
+raw AS (
+  SELECT d % {HOST_MOD} AS s, (7 * d + 1) % {HOST_MOD} AS t FROM docs
+  UNION ALL
+  SELECT d % {HOST_MOD}, (13 * d + 5) % {HOST_MOD} FROM docs
+  UNION ALL
+  SELECT d % {HOST_MOD}, (3 * d + 2) % {HOST_MOD} FROM docs
+  WHERE d % 4 = 0),
+edges AS (
+  SELECT DISTINCT 'site' || s || '.example' AS src,
+                  'site' || t || '.example' AS dst
+  FROM raw WHERE s <> t),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),

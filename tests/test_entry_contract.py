@@ -56,7 +56,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # in-window, and it is oracle-checked by check_contract
                       # (closed-form doc_id-math twin) + edge-case-pinned by
                       # tests/test_webtext.py
-                      "extract_links"}
+                      "extract_links",
+                      # round-5 chained flagship (HTML -> outlinks ->
+                      # PageRank), added with the window already full; both
+                      # halves are independently oracle-checked and the chain
+                      # itself is oracle-checked by check_contract (composed
+                      # closed-form + chained-CTE twin)
+                      "link_pipeline"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.
