@@ -496,6 +496,33 @@ def _q_link_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "rank")
 
 
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style URL blocklist screen over synthesized URLs that
+    exercise every rule kind: exact host (www-stripped), exact host on
+    an m. subdomain, host_suffix catching subdomains, and a
+    path_contains query-string rule; overlapping hits resolve to the
+    smallest rule_id on both engines."""
+    from tilemaker_spark.operators.webtext import filter_blocked_urls
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 5 == 0, F.lit("m.")).otherwise(
+            F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit(""))),
+        F.lit("site"), (did % HOST_MOD).cast("string"),
+        F.lit(".example/p/"), did.cast("string"),
+        F.when(did % 7 == 0, F.lit("?ref=promo")).otherwise(F.lit("")))
+    pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    rules = spark.createDataFrame(
+        [(1, "host", "site7.example"),
+         (2, "host", "m.site11.example"),
+         (3, "host_suffix", "site13.example"),
+         (4, "path_contains", "ref=promo"),
+         (5, "host_suffix", "site29.example")],
+        "rule_id long, kind string, pattern string")
+    return filter_blocked_urls(pages, rules) \
+        .select("doc_id", "url", "host", "blocked", "rule_id")
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 keywords per document by the tf/df rarity score (exact
     IEEE division — engine-portable, unlike libm ln; see operator
@@ -1281,6 +1308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outlinks -> PageRank); window full — oracle-checked by
         # tools/check_contract.py (closed-form links + chained-CTE rank)
         "link_pipeline": _q_link_pipeline,
+        # round-5 UT1-style blocklist screen; window full — oracle-checked
+        # by tools/check_contract.py (url_host_stats covers host parsing
+        # in-window)
+        "url_blocklist": _q_url_blocklist,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1488,6 +1519,8 @@ def _simhash_sql(bits: int = 16) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tilemaker_spark.operators.webtext import (
+        EMAIL_RE, HOST_RE, IPV4_RE, PHONE_RE)
     tz = TILE_Z
     bz = BASEZOOM
     q = {}
@@ -1963,6 +1996,41 @@ edges AS (
 SELECT src_host, dst_host, COUNT(*) AS n_links
 FROM edges GROUP BY 1, 2"""
 
+    # UT1 blocklist screen: rules VALUES table replayed with the same
+    # host normalization + suffix/substring semantics; min rule_id wins
+    q["url_blocklist"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 5 = 0 THEN 'm.'
+              WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+         'site' || CAST(doc_id % {HOST_MOD} AS VARCHAR) || '.example/p/' ||
+         CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 7 = 0 THEN '?ref=promo' ELSE '' END AS url
+  FROM documents),
+h AS (SELECT doc_id, url,
+             regexp_replace(lower(regexp_extract(url, '{HOST_RE}', 1)),
+                            '^www\\.', '') AS host,
+             lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1)) AS path
+      FROM pages),
+rules(rule_id, kind, pattern) AS (VALUES
+  (1, 'host', 'site7.example'),
+  (2, 'host', 'm.site11.example'),
+  (3, 'host_suffix', 'site13.example'),
+  (4, 'path_contains', 'ref=promo'),
+  (5, 'host_suffix', 'site29.example')),
+m AS (SELECT h.doc_id, CAST(MIN(r.rule_id) AS BIGINT) AS rule_id
+      FROM h JOIN rules r ON
+           (r.kind = 'host' AND h.host = r.pattern)
+        OR (r.kind = 'host_suffix' AND (h.host = r.pattern OR
+            h.host LIKE '%.' || r.pattern))
+        OR (r.kind = 'path_contains' AND position(r.pattern IN h.path) > 0)
+      GROUP BY 1)
+SELECT h.doc_id, h.url, h.host,
+       m.rule_id IS NOT NULL AS blocked, m.rule_id
+FROM h LEFT JOIN m USING (doc_id)"""
+
     # tf/df keyword score: a single IEEE division of two BIGINTs is
     # correctly rounded on both engines, so the rounded score (and the
     # ranking derived from it) is hash-pinnable — unlike ln-based tfidf
@@ -2029,8 +2097,6 @@ FROM t"""
         "(t = 'T doc ' || CAST(doc_id AS VARCHAR) || ' ' || text "
         "|| ' & tail <b>') AS roundtrip_exact FROM e")
 
-    from tilemaker_spark.operators.webtext import (
-        EMAIL_RE, HOST_RE, IPV4_RE, PHONE_RE)
     q["url_host_stats"] = f"""
 WITH pages AS (
   SELECT doc_id, text, lang,

@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "pack_chunks",
     # round-5 addition: line-level boilerplate removal
     "boilerplate_lines",
+    # round-5 closers: classifier-filter inference, keyword extraction,
+    # and the chained HTML -> outlinks -> PageRank flagship
+    "classifier_score",
+    "tfidf_keywords",
+    "link_pipeline",
 ]
 
 

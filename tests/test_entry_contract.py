@@ -62,7 +62,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # halves are independently oracle-checked and the chain
                       # itself is oracle-checked by check_contract (composed
                       # closed-form + chained-CTE twin)
-                      "link_pipeline"}
+                      "link_pipeline",
+                      # round-5 UT1-style blocklist screen, added with the
+                      # window already full; host-parsing sibling
+                      # url_host_stats is in-window, and it is oracle-checked
+                      # by check_contract + edge-case-pinned by
+                      # tests/test_webtext.py
+                      "url_blocklist"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -350,3 +350,38 @@ def test_extract_links_edge_cases(spark):
     got = {(r.src_host, r.dst_host): r.n_links
            for r in extract_links(pdf).collect()}
     assert got == {("a.com", "b.com"): 3, ("a.com", "c.org"): 1}
+
+
+def test_filter_blocked_urls_rule_kinds(spark):
+    """Blocklist semantics: exact host (www-normalized), host_suffix
+    over deep subdomain chains (equality + dot-boundary, no substring
+    false-positives), path_contains on path+query, min-rule_id tie
+    break, and untouched pages pass through with blocked=False."""
+    from tilemaker_spark.operators.webtext import filter_blocked_urls
+
+    pages = spark.createDataFrame(
+        [(0, "https://www.Bad.example/x"),        # host exact via www-strip
+         (1, "https://a.b.bad.example/y"),         # suffix, 2 labels deep
+         (2, "https://bad.example/z"),             # suffix equality
+         (3, "https://notbad.example/w"),          # substring must NOT hit
+         (4, "https://ok.example/p?utm=spam&x=1"), # path_contains in query
+         (5, "https://bad.example/p?utm=spam"),    # rules 2+3 -> min = 2
+         (6, "https://clean.example/c"),           # no rule
+         ],
+        "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [(1, "host", "bad.example"),
+         (2, "host_suffix", "bad.example"),
+         (3, "path_contains", "utm=spam")],
+        "rule_id long, kind string, pattern string")
+    got = {r.doc_id: (r.host, r.blocked, r.rule_id)
+           for r in filter_blocked_urls(pages, rules).collect()}
+    assert got == {
+        0: ("bad.example", True, 1),
+        1: ("a.b.bad.example", True, 2),
+        2: ("bad.example", True, 1),   # exact host rule outranks suffix
+        3: ("notbad.example", False, None),
+        4: ("ok.example", True, 3),
+        5: ("bad.example", True, 1),
+        6: ("clean.example", False, None),
+    }

@@ -91,6 +91,72 @@ def extract_links(pages: DataFrame, html_col: str = "html",
             .agg(F.count("*").alias("n_links")))
 
 
+def filter_blocked_urls(pages: DataFrame, rules: DataFrame,
+                        url_col: str = "url",
+                        id_col: str = "doc_id") -> DataFrame:
+    """UT1-style URL blocklist filtering — the adult/spam/malware
+    domain-and-path screen every web-curation pipeline runs before
+    content-quality stages (RefinedWeb/CCNet shape).
+
+    ``rules`` is (rule_id: long, kind: string, pattern: string) with
+    kind one of:
+
+    * ``host``          — exact normalized-host match;
+    * ``host_suffix``   — the pattern domain and every subdomain of it
+      (UT1 blocklist semantics);
+    * ``path_contains`` — lowercase substring of the path+query part.
+
+    Hosts are normalized like `url_host_stats` (lowercase, leading
+    ``www.`` stripped). Returns the input columns plus (host, rule_id,
+    blocked); when several rules hit, the smallest rule_id wins
+    (deterministic reason).
+
+    Scale shape: page bodies stay out of the match entirely — only
+    (id, url) enters, and the wide rows are re-attached by one id-keyed
+    left join of a tiny (id, rule_id) match table. Host rules are an
+    equi-join (broadcastable at UT1's ~4M hosts, AQE falls back to a
+    hash join beyond). Suffix rules become an equi-join too: each host
+    explodes into its ≤~10-label suffix chain and joins suffix ==
+    pattern — no nested-loop over a multi-million-entry list. Only the
+    path_contains rules (typically a few hundred) pay a broadcast
+    nested loop.
+    """
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url_col, HOST_RE, 1)), "^www\\.", "")
+    path = F.lower(F.regexp_extract(
+        url_col, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1))
+    p = (pages.select(F.col(id_col).alias("_pid"),
+                      host.alias("_h"), path.alias("_p"))
+         .withColumn("_labels", F.split("_h", "\\.")))
+
+    host_r = rules.filter(F.col("kind") == "host")
+    m_host = (p.join(host_r.hint("broadcast"),
+                     p["_h"] == host_r["pattern"])
+              .select("_pid", "rule_id"))
+
+    suf_r = rules.filter(F.col("kind") == "host_suffix")
+    sufs = F.expr("transform(sequence(1, size(_labels)), i -> "
+                  "array_join(slice(_labels, i, size(_labels) - i + 1),"
+                  " '.'))")
+    m_suf = (p.select("_pid", F.explode(sufs).alias("_suf"))
+             .join(suf_r.hint("broadcast"),
+                   F.col("_suf") == suf_r["pattern"])
+             .select("_pid", "rule_id"))
+
+    path_r = rules.filter(F.col("kind") == "path_contains")
+    m_path = (p.crossJoin(F.broadcast(path_r))
+              .filter(F.col("_p").contains(F.col("pattern")))
+              .select("_pid", "rule_id"))
+
+    matches = (m_host.unionByName(m_suf).unionByName(m_path)
+               .groupBy("_pid").agg(F.min("rule_id").alias("rule_id")))
+    return (pages
+            .withColumn("host", host)
+            .join(matches, F.col(id_col) == F.col("_pid"), "left")
+            .drop("_pid")
+            .withColumn("blocked", F.col("rule_id").isNotNull()))
+
+
 def pii_scrub(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Detect and redact common PII spans (emails, IPv4 addresses,
     short phone numbers). Returns per-page counts plus the scrubbed
