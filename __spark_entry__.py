@@ -427,6 +427,23 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_clean", "n_lines", "n_removed")
 
 
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first paragraph dedup over a deterministic 3-paragraph
+    rendering of each doc: a pooled promo paragraph (17 variants — only
+    the lowest-(doc_id,pos) copy survives corpus-wide), the doc's own
+    text, and a pooled footer (5 variants). The synthetic corpus has no
+    paragraph breaks, so the wrapper makes the query exercise real
+    multi-paragraph keep-first semantics identically on both engines."""
+    from tilemaker_spark.operators.dedup import dedup_paragraphs
+    pared = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("PROMO "), (F.col("doc_id") % 17).cast("string"),
+                 F.lit("\n\n"), F.col("text"), F.lit("\n\nFOOTER "),
+                 (F.col("doc_id") % 5).cast("string")).alias("text"))
+    return dedup_paragraphs(pared) \
+        .select("doc_id", "text_dedup", "n_paras", "n_dropped")
+
+
 def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality-classifier inference (the GPT-3/LLaMA
     classifier-filter stage) with a deterministic md5-derived weight
@@ -479,6 +496,33 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction semantics, not just Spark==DuckDB."""
     from tilemaker_spark.operators.webtext import extract_links
     return extract_links(_synth_link_pages(_docs(spark, sf_dir)))
+
+
+def _q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text term aggregation over synthesized HTML: a 'promo
+    w{d%13}' anchor per page (with an extra attribute between href and
+    the text — exercises the attribute gap), a relative anchor whose
+    text must NOT count, and every 3rd page a 3-term anchor to a second
+    host. Closed-form doc_id-math oracle, regex-engine-independent."""
+    from tilemaker_spark.operators.webtext import anchor_terms
+    did = F.col("doc_id")
+
+    def a(mult, add, text_expr):
+        return F.concat(F.lit('<a href="https://site'),
+                        ((did * mult + add) % HOST_MOD).cast("string"),
+                        F.lit('.example/x" class="c">'), text_expr,
+                        F.lit("</a>"))
+
+    html = F.concat(
+        F.lit("<html>"),
+        a(7, 1, F.concat(F.lit("promo w"), (did % 13).cast("string"))),
+        F.lit('<a href="/rel">rel skip</a>'),
+        F.when(did % 3 == 0,
+               a(5, 2, F.concat(F.lit("buy w"), (did % 11).cast("string"),
+                                F.lit(" now")))).otherwise(F.lit("")),
+        F.lit("</html>"))
+    pages = _docs(spark, sf_dir).select(F.encode(html, "utf-8").alias("html"))
+    return anchor_terms(pages)
 
 
 def _q_link_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,6 +1356,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check_contract.py (url_host_stats covers host parsing
         # in-window)
         "url_blocklist": _q_url_blocklist,
+        # round-5 CCNet paragraph-hash dedup; window full — oracle-checked
+        # by tools/check_contract.py (dedup_exact/boilerplate_lines cover
+        # the dedup + text-rebuild families in-window)
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        # round-5 anchor-text IR signal; window full — oracle-checked by
+        # tools/check_contract.py (closed-form doc_id-math twin)
+        "anchor_terms": _q_anchor_terms,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -1995,6 +2046,58 @@ edges AS (
   FROM links WHERE s <> t)
 SELECT src_host, dst_host, COUNT(*) AS n_links
 FROM edges GROUP BY 1, 2"""
+
+    # anchor-terms closed form: the (dst, term) multiset derived from
+    # the same doc_id math that synthesized the anchors
+    q["anchor_terms"] = f"""
+WITH docs AS (SELECT doc_id AS d FROM documents),
+terms AS (
+  SELECT (7 * d + 1) % {HOST_MOD} AS t, 'promo' AS term FROM docs
+  UNION ALL
+  SELECT (7 * d + 1) % {HOST_MOD}, 'w' || CAST(d % 13 AS VARCHAR)
+  FROM docs
+  UNION ALL
+  SELECT (5 * d + 2) % {HOST_MOD}, 'buy' FROM docs WHERE d % 3 = 0
+  UNION ALL
+  SELECT (5 * d + 2) % {HOST_MOD}, 'w' || CAST(d % 11 AS VARCHAR)
+  FROM docs WHERE d % 3 = 0
+  UNION ALL
+  SELECT (5 * d + 2) % {HOST_MOD}, 'now' FROM docs WHERE d % 3 = 0)
+SELECT 'site' || t || '.example' AS dst_host, term, COUNT(*) AS n
+FROM terms GROUP BY 1, 2"""
+
+    # keep-first paragraph dedup: the winner per md5 key is the
+    # row_number()=1 row in (doc_id, pos) order — identical to Spark's
+    # min-struct formulation; rebuild via ordered string_agg
+    q["dedup_paragraphs"] = """
+WITH pared AS (
+  SELECT doc_id,
+         'PROMO ' || CAST(doc_id % 17 AS VARCHAR) || chr(10) || chr(10)
+         || text || chr(10) || chr(10)
+         || 'FOOTER ' || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM documents),
+ps AS (
+  SELECT doc_id, i AS pos, ls[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls
+        FROM pared),
+       UNNEST(range(1, len(ls) + 1)) AS t(i)),
+firsts AS (
+  SELECT doc_id, pos, para
+  FROM (SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY md5(trim(para))
+                                  ORDER BY doc_id, pos) AS rn
+        FROM ps WHERE trim(para) <> '')
+  WHERE rn = 1),
+agg AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup,
+         COUNT(*) AS n_kept
+  FROM firsts GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM ps GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.text_dedup, '') AS text_dedup,
+       CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(t.n_paras - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id"""
 
     # UT1 blocklist screen: rules VALUES table replayed with the same
     # host normalization + suffix/substring semantics; min rule_id wins

@@ -378,3 +378,52 @@ def test_stop_shingle_cap_bounds_pairs_through_clusters(spark):
     sig = inspect.signature(dedup_clusters)
     assert sig.parameters["max_shingle_df"].default == DEFAULT_MAX_SHINGLE_DF
     assert DEFAULT_MAX_SHINGLE_DF is not None
+
+
+def test_dedup_paragraphs_keep_first_replay(spark):
+    """Keep-first paragraph dedup vs a Python replay on a random corpus
+    with a small paragraph pool (heavy cross-doc duplication), blanks,
+    and whitespace-variant paragraphs that trim to the same key."""
+    import random
+
+    from tilemaker_spark.operators.dedup import dedup_paragraphs
+
+    rng = random.Random(99)
+    pool = [f"shared paragraph {i}" for i in range(6)]
+    docs = []
+    for d in range(60):
+        paras = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.5:
+                p = rng.choice(pool)
+                # whitespace variants must dedup to the same key but
+                # the kept copy preserves its ORIGINAL spelling
+                if rng.random() < 0.3:
+                    p = "  " + p + " "
+            elif r < 0.6:
+                p = "   "          # trimmed-empty: always dropped
+            else:
+                p = f"unique {d}-{rng.randint(0, 9)}"
+            paras.append(p)
+        docs.append((d, "\n\n".join(paras)))
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {r.doc_id: (r.text_dedup, r.n_paras, r.n_dropped)
+           for r in dedup_paragraphs(ddf).collect()}
+
+    seen = set()
+    want = {}
+    for d, text in docs:                      # ascending doc_id order
+        paras = text.split("\n\n")
+        kept = []
+        for p in paras:
+            k = p.strip()
+            if k == "" or k in seen:
+                continue
+            seen.add(k)
+            kept.append(p)
+        want[d] = ("\n\n".join(kept), len(paras), len(paras) - len(kept))
+    assert got == want
+    # fixture sanity: duplication actually happened, incl. within-doc
+    assert sum(v[2] for v in want.values()) > 50

@@ -68,7 +68,19 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # url_host_stats is in-window, and it is oracle-checked
                       # by check_contract + edge-case-pinned by
                       # tests/test_webtext.py
-                      "url_blocklist"}
+                      "url_blocklist",
+                      # round-5 CCNet paragraph-hash dedup, added with the
+                      # window already full; dedup_exact and
+                      # boilerplate_lines cover the family in-window, and it
+                      # is oracle-checked by check_contract + replay-pinned
+                      # by tests/test_dedup.py
+                      "dedup_paragraphs",
+                      # round-5 anchor-text IR signal, added with the window
+                      # already full; link sibling extract_links shares the
+                      # parsing path, and it is oracle-checked by
+                      # check_contract (closed-form twin) + edge-case-pinned
+                      # by tests/test_webtext.py
+                      "anchor_terms"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -385,3 +385,26 @@ def test_filter_blocked_urls_rule_kinds(spark):
         5: ("bad.example", True, 1),
         6: ("clean.example", False, None),
     }
+
+
+def test_anchor_terms_pairing_and_filters(spark):
+    """href/text pair zipping stays aligned across attribute gaps and
+    dropped anchors; relative/mailto anchor texts never count; empty
+    anchor texts contribute nothing; counts aggregate across pages."""
+    from tilemaker_spark.operators.webtext import anchor_terms
+
+    pages = [
+        # attribute gap + two absolute anchors with overlapping terms
+        '<a href="https://t1.example/a" rel="nofollow">great site</a>'
+        '<a href="/local">local noise</a>'
+        '<a href="https://www.T2.example/b">great deal</a>',
+        # empty anchor text; mailto dropped; repeat term to t1
+        '<a href="https://t1.example/c"></a>'
+        '<a href="mailto:x@y">mail words</a>'
+        '<a href="https://t1.example/d">site</a>',
+    ]
+    pdf = spark.createDataFrame([(h.encode(),) for h in pages],
+                                "html binary")
+    got = {(r.dst_host, r.term): r.n for r in anchor_terms(pdf).collect()}
+    assert got == {("t1.example", "great"): 1, ("t1.example", "site"): 2,
+                   ("t2.example", "great"): 1, ("t2.example", "deal"): 1}

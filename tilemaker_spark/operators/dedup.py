@@ -717,3 +717,57 @@ def span_dedup_stats(docs: DataFrame, k: int = 5) -> DataFrame:
            .select("doc_id", "n_spans", "dup_spans", "dup_ratio"))
     out._internal_persists = [sp]
     return out
+
+
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide keep-first paragraph deduplication — the CCNet
+    paragraph-hash dedup stage (every paragraph's md5 is looked up
+    corpus-wide; only its FIRST occurrence in (doc_id, position) order
+    survives, so boilerplate and syndicated passages are stripped from
+    every later document). Differs from line-level boilerplate removal
+    in both granularity and semantics: no frequency threshold — the
+    second copy is already a duplicate, and the first copy is always
+    kept. Trimmed-empty paragraphs are dropped as non-content.
+
+    Returns (doc_id, text_dedup, n_paras, n_dropped); docs whose every
+    paragraph was dropped come back as empty strings via the doc-id
+    spine, not missing rows.
+
+    Scale shape: the paragraph stream shuffles ONCE on the md5 key —
+    the honest cost of global dedup — but the first-occurrence winner
+    is a map-side-combinable MIN of a (doc_id, pos) struct, not a
+    per-key sort, so hot keys (cookie banners with corpus-scale df)
+    cost a partial-agg merge instead of a skewed window sort. The
+    rebuild is one groupBy(doc_id), the same key downstream per-doc
+    operators already partition by.
+    """
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+    keyed = (paras.filter(F.trim("para") != "")
+             .withColumn("_k", F.md5(F.trim("para"))))
+    firsts = (keyed.groupBy("_k")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("_first")))
+    kept = (keyed.join(firsts, "_k")
+            .filter((F.col("doc_id") == F.col("_first.doc_id")) &
+                    (F.col("pos") == F.col("_first.pos")))
+            .select("doc_id", "pos", "para"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "para"))),
+                            lambda s: s["para"]),
+                        sep).alias("text_dedup"),
+                    F.count("*").alias("_n_kept")))
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return (docs.select("doc_id")
+            .join(totals, "doc_id")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    F.col("n_paras").cast("long").alias("n_paras"),
+                    (F.col("n_paras") -
+                     F.coalesce("_n_kept", F.lit(0))).cast("long")
+                    .alias("n_dropped")))

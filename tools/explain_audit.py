@@ -34,6 +34,9 @@ AUDIT = [
     "simhash_pairs_wide", "dedup_incremental", "span_dedup",
     "lm_corpus_fit", "stratified_sample", "token_budget_sample",
     "dedup_clusters", "decontaminate", "decontaminate_fuzzy",
+    # round-5 closers
+    "classifier_score", "tfidf_keywords", "extract_links",
+    "link_pipeline", "url_blocklist", "dedup_paragraphs", "anchor_terms",
 ]
 
 
