@@ -444,6 +444,15 @@ def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_dedup", "n_paras", "n_dropped")
 
 
+def _q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked tokenizer vocabulary (min_count=2). Oracle-
+    facing side is the NAIVE single-window formulation (the
+    pack_chunks convention); the bucketed scale path `build_vocab` is
+    pinned row-identical by tests/test_text_lm.py."""
+    from tilemaker_spark.operators.text_analysis import build_vocab_naive
+    return build_vocab_naive(_docs(spark, sf_dir), min_count=2)
+
+
 def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality-classifier inference (the GPT-3/LLaMA
     classifier-filter stage) with a deterministic md5-derived weight
@@ -1363,6 +1372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 anchor-text IR signal; window full — oracle-checked by
         # tools/check_contract.py (closed-form doc_id-math twin)
         "anchor_terms": _q_anchor_terms,
+        # round-5 tokenizer-vocab construction; window full —
+        # oracle-checked by tools/check_contract.py (naive twin; bucketed
+        # scale path pinned row-identical by tests/test_text_lm.py)
+        "build_vocab": _q_build_vocab,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2046,6 +2059,19 @@ edges AS (
   FROM links WHERE s <> t)
 SELECT src_host, dst_host, COUNT(*) AS n_links
 FROM edges GROUP BY 1, 2"""
+
+    # vocab construction: global (count desc, term asc) row_number —
+    # the naive formulation both engines replay exactly
+    q["build_vocab"] = """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT term, COUNT(*) AS n FROM toks WHERE term <> ''
+  GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT term, n,
+       CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+       AS vocab_id
+FROM tf"""
 
     # anchor-terms closed form: the (dst, term) multiset derived from
     # the same doc_id math that synthesized the anchors

@@ -80,7 +80,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # parsing path, and it is oracle-checked by
                       # check_contract (closed-form twin) + edge-case-pinned
                       # by tests/test_webtext.py
-                      "anchor_terms"}
+                      "anchor_terms",
+                      # round-5 tokenizer-vocab construction, added with the
+                      # window already full; token_stats/bpe_token_count
+                      # cover token accounting in-window, and it is
+                      # oracle-checked by check_contract (naive twin) with
+                      # the scale path pinned by tests/test_text_lm.py
+                      "build_vocab"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -88,3 +88,37 @@ def test_bigram_lm_oov_and_short_docs(spark):
     assert r.oov_ratio == 0.5
     # unseen bigram is smoothed, not -inf
     assert math.isfinite(r.xent) and r.ppl > 1
+
+
+def test_build_vocab_scale_path_matches_naive_and_replay(spark):
+    """Bucketed-rank vocabulary == naive global-window vocabulary,
+    row for row, on a random corpus with heavy count collisions
+    (forces the within-count term ordering and multi-bucket prefixes),
+    and both match a Python replay; min_count filter honored."""
+    import random
+    from collections import Counter
+
+    from tilemaker_spark.operators.text_analysis import (
+        build_vocab, build_vocab_naive)
+
+    rng = random.Random(4)
+    vocab = ([f"a{i}" for i in range(40)] + [f"b{i}" for i in range(40)]
+             + [f"zz{i}" for i in range(20)])
+    docs = [(d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 30))))
+            for d in range(150)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for mc in (1, 3):
+        naive = sorted(build_vocab_naive(ddf, min_count=mc).collect())
+        scale = sorted(build_vocab(ddf, min_count=mc).collect())
+        assert naive == scale
+
+        cnt = Counter(t for _, text in docs for t in text.split(" "))
+        ranked = sorted(((n, t) for t, n in cnt.items() if n >= mc),
+                        key=lambda s: (-s[0], s[1]))
+        want = sorted((t, n, i) for i, (n, t) in enumerate(ranked))
+        assert [(r.term, r.n, r.vocab_id) for r in naive] == want
+    # fixture sanity: count ties exist (within-count ordering exercised)
+    top = Counter(t for _, text in docs for t in text.split(" "))
+    assert len(set(top.values())) < len(top)

@@ -439,3 +439,76 @@ def tfidf_keywords(docs: DataFrame, k: int = 5, min_len: int = 2,
            .select("doc_id", "term", "tf", "df", "score", "rnk"))
     out._internal_persists = [dt]
     return out
+
+
+def _vocab_counts(docs, min_count: int):
+    return (docs.select(F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count))
+
+
+def build_vocab_naive(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary construction (the tokenizer-vocab /
+    BPE-init step): (term, n, vocab_id) with 0-based ids assigned by
+    (count desc, term asc). NAIVE formulation — one global row_number
+    window, i.e. a single-partition sort of the whole vocabulary. This
+    is the oracle-facing twin; `build_vocab` is the scale path and is
+    pinned row-identical by tests/test_text_lm.py.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (_vocab_counts(docs, min_count)
+            .withColumn("vocab_id",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .select("term", "n", "vocab_id"))
+
+
+def build_vocab(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Scale-path vocabulary construction: identical output to
+    :func:`build_vocab_naive` with NO global single-partition sort.
+    The global rank decomposes exactly (the pack_chunks two-level
+    prefix-sum recipe, generalized to the (count desc, term asc) key):
+
+      vocab_id = |terms with higher count|                      (A)
+               + |same-count terms in earlier term-prefix buckets| (B)
+               + rank within the (count, prefix) bucket - 1      (C)
+
+    (A) is an exclusive prefix sum over the COUNT HISTOGRAM — O(distinct
+    counts) rows (Zipf: ~sqrt(total tokens)), one intentionally tiny
+    single-partition window, broadcast back. (B) likewise over the
+    (count, 1-char term prefix) histogram, partitioned by count. (C) is
+    a row_number windowed per (count, prefix) bucket — the hot
+    count=1 tail is split across the alphabet instead of one mega
+    partition; a deeper prefix is a drop-in if a corpus needs it.
+    """
+    from pyspark.sql import Window
+
+    tf = (_vocab_counts(docs, min_count)
+          .withColumn("_pfx", F.substring("term", 1, 1)))
+
+    ch = tf.groupBy("n").agg(F.count("*").alias("_nt"))
+    wa = Window.orderBy(F.desc("n")) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    ahead = (ch.withColumn("_a", F.coalesce(F.sum("_nt").over(wa),
+                                            F.lit(0)))
+             .select(F.col("n").alias("_an"), "_a"))
+
+    ph = tf.groupBy("n", "_pfx").agg(F.count("*").alias("_pt"))
+    wb = Window.partitionBy("n").orderBy("_pfx") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    pref = (ph.withColumn("_b", F.coalesce(F.sum("_pt").over(wb),
+                                           F.lit(0)))
+            .select(F.col("n").alias("_pn"), F.col("_pfx").alias("_pp"),
+                    "_b"))
+
+    wc = Window.partitionBy("n", "_pfx").orderBy("term")
+    return (tf
+            .join(F.broadcast(ahead), F.col("n") == F.col("_an"))
+            .join(F.broadcast(pref), (F.col("n") == F.col("_pn")) &
+                                     (F.col("_pfx") == F.col("_pp")))
+            .withColumn("vocab_id",
+                        (F.col("_a") + F.col("_b") +
+                         F.row_number().over(wc) - 1).cast("long"))
+            .select("term", "n", "vocab_id"))
