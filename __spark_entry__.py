@@ -444,6 +444,23 @@ def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_dedup", "n_paras", "n_dropped")
 
 
+def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot crawl delta over two deterministic snapshots of
+    the docs table: 10% of urls exist only in the new crawl (added),
+    10% only in the old (removed), every 7th doc's text gains a ' v2'
+    suffix (changed), the rest are unchanged."""
+    from tilemaker_spark.operators.webtext import crawl_delta
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    old = d.filter(did % 10 != 0).select(_synth_url().alias("url"), "text")
+    new = (d.filter(did % 10 != 1)
+           .select(_synth_url().alias("url"),
+                   F.when(did % 7 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text")))
+    return crawl_delta(old, new)
+
+
 def _q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked tokenizer vocabulary (min_count=2). Oracle-
     facing side is the NAIVE single-window formulation (the
@@ -1376,6 +1393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked by tools/check_contract.py (naive twin; bucketed
         # scale path pinned row-identical by tests/test_text_lm.py)
         "build_vocab": _q_build_vocab,
+        # round-5 cross-snapshot crawl delta; window full — oracle-checked
+        # by tools/check_contract.py (url_dedup_latest covers the
+        # re-crawl family in-window)
+        "crawl_delta": _q_crawl_delta,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2059,6 +2080,26 @@ edges AS (
   FROM links WHERE s <> t)
 SELECT src_host, dst_host, COUNT(*) AS n_links
 FROM edges GROUP BY 1, 2"""
+
+    # crawl delta: one FULL OUTER join of (url, md5(text)) projections
+    q["crawl_delta"] = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+         || 'site' || CAST(doc_id % {HOST_MOD} AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents),
+old AS (SELECT url, md5(text) AS old_hash FROM u WHERE doc_id % 10 <> 0),
+new AS (SELECT url,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                        ELSE text END) AS new_hash
+        FROM u WHERE doc_id % 10 <> 1)
+SELECT COALESCE(old.url, new.url) AS url, old_hash, new_hash,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash = new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.url = new.url"""
 
     # vocab construction: global (count desc, term asc) row_number —
     # the naive formulation both engines replay exactly

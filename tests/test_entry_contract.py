@@ -86,7 +86,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # cover token accounting in-window, and it is
                       # oracle-checked by check_contract (naive twin) with
                       # the scale path pinned by tests/test_text_lm.py
-                      "build_vocab"}
+                      "build_vocab",
+                      # round-5 cross-snapshot crawl delta, added with the
+                      # window already full; re-crawl sibling
+                      # url_dedup_latest is in-window, and it is
+                      # oracle-checked by check_contract + replay-pinned by
+                      # tests/test_webtext.py
+                      "crawl_delta"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -408,3 +408,27 @@ def test_anchor_terms_pairing_and_filters(spark):
     got = {(r.dst_host, r.term): r.n for r in anchor_terms(pdf).collect()}
     assert got == {("t1.example", "great"): 1, ("t1.example", "site"): 2,
                    ("t2.example", "great"): 1, ("t2.example", "deal"): 1}
+
+
+def test_crawl_delta_statuses(spark):
+    """All four delta statuses from two tiny snapshots, with hashes
+    agreeing with hashlib and url coalesced across the outer join."""
+    import hashlib
+
+    from tilemaker_spark.operators.webtext import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url string, text string")
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    got = {r.url: (r.old_hash, r.new_hash, r.status)
+           for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u1": (h("same"), h("same"), "unchanged"),
+        "u2": (h("before"), h("after"), "changed"),
+        "u3": (h("gone"), None, "removed"),
+        "u4": (None, h("fresh"), "added"),
+    }

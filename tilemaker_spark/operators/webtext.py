@@ -482,3 +482,34 @@ def host_pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                             round_decimals).alias("rank")))
     ranks._internal_persists = persists
     return ranks
+
+
+def crawl_delta(old_pages: DataFrame, new_pages: DataFrame,
+                key_col: str = "url",
+                text_col: str = "text") -> DataFrame:
+    """Cross-snapshot crawl delta — the re-crawl accounting step: which
+    urls were added, removed, changed, or unchanged between two crawl
+    snapshots (drives incremental processing: only 'added'/'changed'
+    pages need to re-enter the curation pipeline; pairs with
+    `url_dedup_latest` and the incremental dedup band index).
+
+    Content identity is md5 of the extracted text. Returns
+    (url, old_hash, new_hash, status).
+
+    Scale shape: both snapshots are pre-projected to (url, hash) —
+    page bodies never shuffle; the delta is ONE full-outer equi-join
+    on url, the natural key both snapshot layouts can be bucketed on
+    to make the join exchange-free (write_osm_bucketed-style layout
+    applies verbatim).
+    """
+    o = old_pages.select(F.col(key_col).alias(key_col),
+                         F.md5(F.col(text_col)).alias("old_hash"))
+    n = new_pages.select(F.col(key_col).alias(key_col),
+                         F.md5(F.col(text_col)).alias("new_hash"))
+    status = (F.when(F.col("old_hash").isNull(), "added")
+              .when(F.col("new_hash").isNull(), "removed")
+              .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+              .otherwise("changed"))
+    return (o.join(n, key_col, "full_outer")
+            .select(key_col, "old_hash", "new_hash",
+                    status.alias("status")))
