@@ -75,6 +75,13 @@ BENCH_QUERIES = [
     "classifier_score",
     "tfidf_keywords",
     "link_pipeline",
+    # round-5 closers, second wave: curation screens + link/corpus ops
+    "extract_links",
+    "anchor_terms",
+    "url_blocklist",
+    "dedup_paragraphs",
+    "build_vocab",
+    "crawl_delta",
 ]
 
 
