@@ -18,6 +18,15 @@ would want it:
   re-crawled pages); at scale this is a single hash shuffle on url.
 * `repetition_signals` — bigrams exploded then two partial-agg
   groupBys on (doc_id, bigram) / (doc_id); no per-row Python.
+* `extract_links` / `anchor_terms` — one codegen scan of the HTML
+  bytes; only (host, host) / (host, term) pairs ever shuffle.
+* `filter_blocked_urls` — UT1-style screen; suffix rules become an
+  equi-join over each host's exploded suffix chain.
+* `remove_boilerplate_lines` / `decontaminate*` — line/n-gram
+  hygiene with broadcast hot-sets; corpus text shuffles at most once.
+* `host_pagerank` — O(hosts) rank vector iterated with
+  checkpoint-truncated lineage; `crawl_delta` — one full-outer join
+  of (url, md5) projections across crawl snapshots.
 """
 
 from __future__ import annotations
