@@ -444,6 +444,13 @@ def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_dedup", "n_paras", "n_dropped")
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-battery screen straight over the docs table (the
+    boolean rule-list sibling of the weighted quality_score)."""
+    from tilemaker_spark.operators.text_analysis import gopher_rules
+    return gopher_rules(_docs(spark, sf_dir))
+
+
 def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot crawl delta over two deterministic snapshots of
     the docs table: 10% of urls exist only in the new crawl (added),
@@ -1397,6 +1404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check_contract.py (url_dedup_latest covers the
         # re-crawl family in-window)
         "crawl_delta": _q_crawl_delta,
+        # round-5 Gopher rule battery; window full — oracle-checked by
+        # tools/check_contract.py (quality_score, the weighted sibling,
+        # is in-window)
+        "gopher_rules": _q_gopher_rules,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2080,6 +2091,35 @@ edges AS (
   FROM links WHERE s <> t)
 SELECT src_host, dst_host, COUNT(*) AS n_links
 FROM edges GROUP BY 1, 2"""
+
+    # Gopher rule battery: list_transform/list_filter replay of the
+    # same closed forms; ratios rounded before every threshold compare
+    q["gopher_rules"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(ts, x -> length(x)))
+                        AS DOUBLE) / len(ts), 6) AS mean_word_len,
+             CAST(CAST(list_contains(ts, 'the') AS INT)
+                  + CAST(list_contains(ts, 'a') AS INT)
+                  + CAST(list_contains(ts, 'of') AS INT)
+                  + CAST(list_contains(ts, 'and') AS INT)
+                  + CAST(list_contains(ts, 'to') AS INT)
+                  + CAST(list_contains(ts, 'in') AS INT) AS BIGINT)
+             AS stop_hits,
+             ROUND(CAST(len(list_filter(ts,
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(ts), 6) AS alpha_ratio
+      FROM t)
+SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_ratio,
+       (n_words >= 50 AND n_words <= 100000) AS r_words,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_wordlen,
+       (stop_hits >= 2) AS r_stop,
+       (alpha_ratio >= 0.8) AS r_alpha,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND stop_hits >= 2 AND alpha_ratio >= 0.8) AS keep
+FROM m"""
 
     # crawl delta: one FULL OUTER join of (url, md5(text)) projections
     q["crawl_delta"] = f"""

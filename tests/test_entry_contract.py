@@ -92,7 +92,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # url_dedup_latest is in-window, and it is
                       # oracle-checked by check_contract + replay-pinned by
                       # tests/test_webtext.py
-                      "crawl_delta"}
+                      "crawl_delta",
+                      # round-5 Gopher rule battery, added with the window
+                      # already full; weighted sibling quality_score is
+                      # in-window, and it is oracle-checked by
+                      # check_contract + boundary-pinned by
+                      # tests/test_webtext.py
+                      "gopher_rules"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -432,3 +432,28 @@ def test_crawl_delta_statuses(spark):
         "u3": (h("gone"), None, "removed"),
         "u4": (None, h("fresh"), "added"),
     }
+
+
+def test_gopher_rules_boundaries(spark):
+    """Each rule flips exactly at its boundary: word-count bounds,
+    mean-word-length bounds, distinct-stopword minimum (repeats don't
+    double-count), and the alphabetic-word ratio."""
+    from tilemaker_spark.operators.text_analysis import gopher_rules
+
+    base = ("the and " + "word " * 47).strip()          # 49 words, passes all but r_words
+    docs = [
+        (0, base),                                      # n_words=49 -> r_words False
+        (1, base + " word"),                            # n_words=50 -> r_words True
+        (2, "the and " + "ab " * 48),                   # mean len (2*3+48*2)/50=2.16 -> r_wordlen False
+        (3, "the the the " + "word " * 47),             # 1 distinct stopword -> r_stop False
+        (4, "the and " + "word " * 36 + "12 " * 12),    # alpha 38/50=0.76 -> r_alpha False
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.r_words, r.r_wordlen, r.r_stop,
+                      r.r_alpha, r.keep)
+           for r in gopher_rules(ddf).collect()}
+    assert got[0] == (49, False, True, True, True, False)
+    assert got[1] == (50, True, True, True, True, True)
+    assert got[2][2] is False and got[2][5] is False
+    assert got[3][3] is False and got[3][5] is False
+    assert got[4][4] is False and got[4][5] is False

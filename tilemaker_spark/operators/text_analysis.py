@@ -512,3 +512,49 @@ def build_vocab(docs: DataFrame, min_count: int = 1) -> DataFrame:
                         (F.col("_a") + F.col("_b") +
                          F.row_number().over(wc) - 1).cast("long"))
             .select("term", "n", "vocab_id"))
+
+
+def gopher_rules(docs: DataFrame, min_words: int = 50,
+                 max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 min_stop_hits: int = 2,
+                 min_alpha_ratio: float = 0.8) -> DataFrame:
+    """Gopher-style quality rule battery (the published rule-list
+    filter: word-count bounds, mean-word-length bounds, a
+    must-contain-stopwords rule, and an alphabetic-word-ratio rule) —
+    the deterministic rule screen that runs before any learned quality
+    model. Complements `quality_score` (weighted heuristic score):
+    this is the per-rule boolean battery with keep = AND of all rules.
+
+    Returns (doc_id, n_words, mean_word_len, stop_hits, alpha_ratio,
+    r_words, r_wordlen, r_stop, r_alpha, keep). Ratios are rounded to
+    6 BEFORE the threshold comparisons (round-before-use rule), and
+    stop_hits counts DISTINCT stopwords present via a fixed sum of
+    array_contains terms — the same closed form the SQL oracle runs.
+
+    Scale shape: pure Column expressions over one pass of the text —
+    zero shuffles, whole-stage codegen, trivially 1000-executor
+    parallel.
+    """
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+    mean_len = F.round(word_chars / n_words, 6)
+    stop_hits = sum(
+        (F.array_contains(toks, s).cast("int") for s in STOPWORDS),
+        F.lit(0)).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(n_alpha.cast("double") / n_words, 6)
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_wordlen = (mean_len >= min_mean_word_len) & \
+                (mean_len <= max_mean_word_len)
+    r_stop = stop_hits >= min_stop_hits
+    r_alpha = alpha_ratio >= min_alpha_ratio
+    return docs.select(
+        "doc_id", n_words.alias("n_words"), mean_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"), alpha_ratio.alias("alpha_ratio"),
+        r_words.alias("r_words"), r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"), r_alpha.alias("r_alpha"),
+        (r_words & r_wordlen & r_stop & r_alpha).alias("keep"))
