@@ -870,6 +870,47 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_a", "vec_b", "cos_sim")
 
 
+# SemDeDup keep rule at the same calibrated threshold as the near-dup
+# fixture (the synthetic embeddings are near-orthogonal: 0.4 yields
+# 13/12/134 dropped docs at sf0.001/0.01/0.1 — non-vacuous everywhere).
+SEMDEDUP_COS = NEARDUP_COS
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): per-doc keep/drop decision from
+    the within-cluster upper-triangular max-cosine rule. The contract
+    run clusters by the deterministic hyperplane code (so the twin can
+    reproduce the buckets in ANSI SQL); the k-means scale path is
+    pinned by tests/test_kmeans_ivf.py."""
+    from tilemaker_spark.operators.similarity import (
+        semantic_dedup, with_hyperplane_bucket)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = with_hyperplane_bucket(emb, n_bits=IVF_BITS)
+    return semantic_dedup(emb, threshold=SEMDEDUP_COS, bucket_col="bucket")
+
+
+DSIR_BUCKETS = 64
+# mass-ratio keep threshold: the target slice is ~1/9 of the raw mass,
+# so scores concentrate near 0.11; 0.12 keeps the target-like tail
+# (36/450 docs at sf0.001) — non-vacuous both ways at every sf.
+DSIR_THRESHOLD = 0.12
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance selection (Xie et al. 2023): hashed
+    token-bigram features, per-doc target-mass / raw-mass ratio in
+    exact integer sums + one IEEE division (the engine-portable
+    surrogate for the paper's log-ratio sum). Target domain = the
+    deterministic doc_id%10==0 slice, same stand-in recipe as the
+    decontamination queries' benchmark slice."""
+    from tilemaker_spark.operators.sampling import dsir_score
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    raw = d.filter(F.col("doc_id") % 10 != 0)
+    return dsir_score(raw, target, n_buckets=DSIR_BUCKETS,
+                      threshold=DSIR_THRESHOLD)
+
+
 N_RECTS = 400  # probe rectangles for the area/covered-by joins
 
 # rect i (axis-aligned, overlapping the checkerboard):
@@ -1408,6 +1449,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_contract.py (quality_score, the weighted sibling,
         # is in-window)
         "gopher_rules": _q_gopher_rules,
+        # round-5 SemDeDup keep/drop decision; window full — embedding
+        # family evidenced in-window by embedding_neardup (same bucket
+        # join), oracle-checked by tools/check_contract.py
+        "semantic_dedup": _q_semantic_dedup,
+        # round-5 DSIR importance selection; window full — sampling
+        # family evidenced in-window by stratified_sample /
+        # token_budget_sample, oracle-checked by tools/check_contract.py
+        "dsir_select": _q_dsir_select,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2475,9 +2524,16 @@ SELECT doc_id, lang,
 FROM t"""
 
     probe_list = ", ".join(str(p) for p in PROBE_IDS)
-    cos = ("list_dot_product(p.embedding, c.embedding) / "
-           "(sqrt(list_dot_product(p.embedding, p.embedding)) * "
-           "sqrt(list_dot_product(c.embedding, c.embedding)))")
+    # CAST to DOUBLE[] before the dot product: DuckDB's list_dot_product
+    # accumulates FLOAT[] inputs in float32 (~1e-7 relative error),
+    # which crossed a 4-decimal rounding boundary at sf0.1; Spark folds
+    # in double, so the twin must too (residual pairwise-vs-sequential
+    # difference is ~1 ulp — far inside the rounding guard band).
+    _pd, _cd = ("CAST(p.embedding AS DOUBLE[])",
+                "CAST(c.embedding AS DOUBLE[])")
+    cos = (f"list_dot_product({_pd}, {_cd}) / "
+           f"(sqrt(list_dot_product({_pd}, {_pd})) * "
+           f"sqrt(list_dot_product({_cd}, {_cd})))")
     q["embedding_topk"] = f"""
 WITH probes AS (SELECT vec_id AS probe_id, embedding FROM embeddings
                 WHERE vec_id IN ({probe_list})),
@@ -2493,9 +2549,11 @@ FROM ranked WHERE rank <= {TOPK}"""
     bucket_sql = " + ".join(
         f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(4))
-    cos_ab = ("list_dot_product(a.embedding, b.embedding) / "
-              "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
-              "sqrt(list_dot_product(b.embedding, b.embedding)))")
+    _ad, _bd = ("CAST(a.embedding AS DOUBLE[])",
+                "CAST(b.embedding AS DOUBLE[])")
+    cos_ab = (f"list_dot_product({_ad}, {_bd}) / "
+              f"(sqrt(list_dot_product({_ad}, {_ad})) * "
+              f"sqrt(list_dot_product({_bd}, {_bd})))")
     flip_list = ", ".join(str(f) for f in [0] + [1 << j for j in range(4)])
     q["embedding_neardup"] = f"""
 WITH coded AS (SELECT vec_id, embedding, {bucket_sql} AS bucket
@@ -2521,6 +2579,48 @@ ranked AS (SELECT probe_id, vec_id, cos_sim,
            FROM scored)
 SELECT probe_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOPK}"""
+
+    q["semantic_dedup"] = f"""
+WITH coded AS (SELECT vec_id, embedding, CAST({bucket_sql} AS INT) AS bucket
+               FROM embeddings),
+pairs AS (SELECT b.vec_id AS vec_b, a.vec_id AS vec_a,
+                 round({cos_ab}, 4) AS cos_sim
+          FROM coded a JOIN coded b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+agg AS (SELECT vec_b, max(cos_sim) AS mps,
+               min(CASE WHEN cos_sim >= {SEMDEDUP_COS} THEN vec_a END)
+                   AS dup_of
+        FROM pairs GROUP BY vec_b)
+SELECT c.vec_id, c.bucket,
+       coalesce(g.mps, -1.0) AS max_prior_sim,
+       CAST(coalesce(g.dup_of, -1) AS BIGINT) AS dup_of,
+       g.dup_of IS NULL AS kept
+FROM coded c LEFT JOIN agg g ON c.vec_id = g.vec_b"""
+
+    _bg_f = ("CAST(('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15)) "
+             f"AS BIGINT) % {DSIR_BUCKETS}")
+    q["dsir_select"] = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+fe AS (SELECT doc_id, {_bg_f} AS f
+       FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+tgt AS (SELECT f, count(*) AS t_f FROM fe WHERE doc_id % 10 = 0
+        GROUP BY f),
+rawfe AS (SELECT doc_id, f FROM fe WHERE doc_id % 10 <> 0),
+rf AS (SELECT f, count(*) AS r_f FROM rawfe GROUP BY f),
+dc AS (SELECT doc_id, f, count(*) AS c FROM rawfe GROUP BY doc_id, f),
+sc AS (SELECT doc_id, SUM(c) AS n_feats,
+              SUM(c * coalesce(t.t_f, 0)) AS tgt_mass,
+              SUM(c * r.r_f) AS raw_mass
+       FROM dc LEFT JOIN tgt t USING (f) JOIN rf r USING (f)
+       GROUP BY doc_id)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(tgt_mass AS BIGINT) AS tgt_mass,
+       CAST(raw_mass AS BIGINT) AS raw_mass,
+       round(tgt_mass / CAST(raw_mass AS DOUBLE), 6) AS score,
+       round(tgt_mass / CAST(raw_mass AS DOUBLE), 6) >= {DSIR_THRESHOLD}
+           AS selected
+FROM sc"""
 
     latp_of = "degrees(ln(tan(radians({v} + 90.0) / 2.0)))"
     q["area_join"] = f"""

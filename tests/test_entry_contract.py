@@ -98,7 +98,19 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # in-window, and it is oracle-checked by
                       # check_contract + boundary-pinned by
                       # tests/test_webtext.py
-                      "gopher_rules"}
+                      "gopher_rules",
+                      # round-5 SemDeDup keep/drop, added with the window
+                      # already full; embedding sibling embedding_neardup
+                      # (same bucket equi-join) is in-window, and it is
+                      # oracle-checked by check_contract + brute-force- and
+                      # kmeans-path-pinned by tests/test_kmeans_ivf.py
+                      "semantic_dedup",
+                      # round-5 DSIR importance selection, added with the
+                      # window already full; sampling siblings
+                      # stratified_sample/token_budget_sample are in-window,
+                      # and it is oracle-checked by check_contract +
+                      # replay-pinned by tests/test_sampling.py
+                      "dsir_select"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

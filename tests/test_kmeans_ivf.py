@@ -209,3 +209,66 @@ def test_ivf_layout_append_without_sidecar_rejected(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="sidecar"):
         write_embeddings_ivf(emb, str(tmp_path / "nope"), mode="append")
+
+
+# ---------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_brute_force_parity(spark):
+    """semantic_dedup == a numpy replay of the released SemDeDup triu
+    rule within each bucket (max-over-earlier + keep decision)."""
+    import numpy as np
+
+    from tilemaker_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for i in range(6):
+        for rep in range(4):  # 4 near-copies of each base vector
+            v = base[i] + rng.normal(scale=0.02, size=8)
+            rows.append((vid, i % 3, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, bucket int, embedding array<float>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(emb, threshold=0.9, bucket_col="bucket")
+           .collect()}
+    assert len(out) == vid
+    by_bucket = {}
+    for v, b, e in rows:
+        by_bucket.setdefault(b, []).append((v, np.asarray(e, np.float64)))
+    for b, members in by_bucket.items():
+        members.sort()
+        for j, (vb, eb) in enumerate(members):
+            sims = []
+            for va, ea in members[:j]:
+                c = round(float(ea @ eb /
+                                (np.linalg.norm(ea) * np.linalg.norm(eb))), 4)
+                sims.append((va, c))
+            exp_max = max((c for _, c in sims), default=-1.0)
+            exp_dup = min((va for va, c in sims if c >= 0.9), default=-1)
+            r = out[vb]
+            assert r.max_prior_sim == exp_max, (vb, r, sims)
+            assert r.dup_of == exp_dup
+            assert r.kept == (exp_dup == -1)
+    # planted near-copies must actually be dropped
+    dropped = sum(1 for r in out.values() if not r.kept)
+    assert dropped > 0
+
+
+def test_semantic_dedup_kmeans_scale_path(spark, emb):
+    """The paper's own quantizer: kmeans clusters as the bucket —
+    every row accounted for, keep rule consistent with dup_of."""
+    from tilemaker_spark.operators.similarity import (
+        kmeans_assign, semantic_dedup)
+
+    assigned = kmeans_assign(emb, n_clusters=8, max_iter=3)
+    out = semantic_dedup(assigned, threshold=0.4,
+                         bucket_col="cluster").collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert r.kept == (r.dup_of == -1)
+        if r.dup_of != -1:
+            assert r.dup_of < r.vec_id
+            assert r.max_prior_sim >= 0.4

@@ -181,3 +181,69 @@ def test_pack_chunks_matches_naive_and_replay(spark):
             assert spans[0][0] == 0
             assert spans[-1][1] == spans[-1][2]  # ends at n_tokens
             assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_dsir_score_brute_force_replay(spark):
+    """dsir_score == a pure-Python replay of the hashed-bigram mass
+    ratio (integer sums + one division), including the md5 bucket
+    recipe and the <2-token exclusion."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tilemaker_spark.operators.sampling import dsir_score
+
+    d = _docs(spark, n=300)
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    raw = d.filter(F.col("doc_id") % 10 != 0)
+    B = 16
+    out = {r.doc_id: r for r in
+           dsir_score(raw, target, n_buckets=B, threshold=0.12).collect()}
+
+    def feats(text):
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            s = f"{a} {b}"
+            yield int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % B
+
+    rows = {r.doc_id: r.text for r in d.collect()}
+    t_f, r_f = {}, {}
+    for did, text in rows.items():
+        table = t_f if did % 10 == 0 else r_f
+        for f in feats(text):
+            table[f] = table.get(f, 0) + 1
+    n_checked = 0
+    for did, text in rows.items():
+        if did % 10 == 0:
+            continue
+        cs = list(feats(text))
+        if not cs:
+            assert did not in out  # <2 tokens: no features, excluded
+            continue
+        num = sum(t_f.get(f, 0) for f in cs)
+        den = sum(r_f[f] for f in cs)
+        r = out[did]
+        assert r.n_feats == len(cs)
+        assert r.tgt_mass == num and r.raw_mass == den
+        assert r.score == round(num / den, 6)
+        assert r.selected == (r.score >= 0.12)
+        n_checked += 1
+    assert n_checked == len(out)
+    # non-vacuous both ways at this threshold
+    sel = sum(1 for r in out.values() if r.selected)
+    assert 0 < sel < len(out)
+
+
+def test_dsir_score_growth_stable_weights_shift(spark):
+    """Deterministic across reruns; score depends only on the corpora
+    (rerunning with the same input gives identical rows)."""
+    from pyspark.sql import functions as F
+
+    from tilemaker_spark.operators.sampling import dsir_score
+
+    d = _docs(spark, n=200)
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    raw = d.filter(F.col("doc_id") % 10 != 0)
+    a = sorted(map(tuple, dsir_score(raw, target, n_buckets=8).collect()))
+    b = sorted(map(tuple, dsir_score(raw, target, n_buckets=8).collect()))
+    assert a == b

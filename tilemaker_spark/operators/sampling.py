@@ -260,3 +260,78 @@ def pack_chunks(docs: DataFrame, seq_len: int,
                           F.col("_tok_excl") +
                           F.coalesce(F.sum("n_tokens").over(wd), F.lit(0))))
     return _finish_pack(offset, seq_len)
+
+
+def dsir_score(docs: DataFrame, target: DataFrame,
+               n_buckets: int = 64,
+               threshold: float | None = None) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-corpus document by how much its hashed n-gram
+    features look like a small TARGET domain, then keep the
+    target-like slice.
+
+    Features are DSIR's: token bigrams hashed into ``n_buckets``
+    buckets (the paper uses hashed unigram+bigram counts). The
+    per-doc statistic here is the RATIO OF INTEGER MASSES
+
+        score = (Σ_f c_f(x) · t_f) / (Σ_f c_f(x) · r_f)
+
+    where c_f(x) is the doc's count of feature f and t_f / r_f are the
+    feature's global occurrence counts in the target / raw corpora —
+    i.e. the average target-affinity of the doc's feature occurrences.
+    The paper's importance weight is Π_f (p_t/p_r)^{c_f}; its log-sum
+    needs ln(), whose last ulp is not portable across engines (the
+    tfidf_keywords / lm_corpus_fit lesson), so this linearized
+    surrogate keeps everything in exact integer sums plus ONE
+    correctly-rounded IEEE division — bit-identical on any engine.
+    Docs with fewer than 2 tokens have no features and are excluded
+    (DSIR can't place them either way).
+
+    ``threshold``: keep decision ``selected = score >= threshold`` — a
+    pure filter, no global sort (an exact global top-N would need the
+    bucketed-rank recipe from ``build_vocab``; a threshold is the
+    growth-stable form). None → selected computed against the corpus
+    mean ratio is NOT offered: pick an explicit, documented constant.
+
+    Returns (doc_id, n_feats, tgt_mass, raw_mass, score, selected).
+
+    Scale shape: the raw token stream is shuffled ONCE, as
+    map-side-combinable (doc_id, f) partial counts; the two global
+    feature tables are partial aggs reduced to ``n_buckets`` rows and
+    broadcast; the final per-doc reduction is one more partial-agg
+    groupBy. Corpus text never shuffles; nothing quadratic; the only
+    driver-side object is the O(n_buckets) broadcast.
+    """
+    from tilemaker_spark.operators.dedup import hash_key60
+    from tilemaker_spark.operators.text_analysis import _doc_bigrams
+
+    def feats(d: DataFrame) -> DataFrame:
+        fb = _doc_bigrams(d)
+        return fb.select(
+            "doc_id",
+            (hash_key60(F.concat_ws(" ", "w1", "w2"))
+             % n_buckets).alias("f"))
+
+    tgt = feats(target).groupBy("f").agg(F.count("*").alias("t_f"))
+    # the raw feature stream feeds BOTH the global counts and the
+    # per-doc counts — persist once, caller releases (house rule)
+    raw_feats = feats(docs).persist()
+    raw = raw_feats.groupBy("f").agg(F.count("*").alias("r_f"))
+    weights = (raw.join(tgt, "f", "left")
+               .select("f", F.coalesce("t_f", F.lit(0)).alias("t_f"),
+                       "r_f"))
+    doc_feat = raw_feats.groupBy("doc_id", "f").agg(
+        F.count("*").alias("c"))
+    scored = (doc_feat.join(F.broadcast(weights), "f")
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_feats"),
+                   F.sum(F.col("c") * F.col("t_f")).alias("tgt_mass"),
+                   F.sum(F.col("c") * F.col("r_f")).alias("raw_mass")))
+    score = F.round(F.col("tgt_mass") / F.col("raw_mass"), 6)
+    out = scored.select("doc_id", "n_feats", "tgt_mass", "raw_mass",
+                        score.alias("score"))
+    if threshold is not None:
+        out = out.withColumn("selected", F.col("score") >= threshold)
+    out._internal_persists = [raw_feats]
+    return out

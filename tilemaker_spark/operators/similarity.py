@@ -342,3 +342,59 @@ def ivf_layout_topk(spark, path: str, query_vec, k: int = 5,
                         F.round(_cosine(qlit, F.col(emb_col)), 4)))
     return (cand.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
             .select("vec_id", "cos_sim"))
+
+
+# ------------------------------------------- semantic dedup (SemDeDup)
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.99,
+                   bucket_col: str = "bucket") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings coarsely, compute
+    pairwise cosine WITHIN each cluster, and drop every document whose
+    max similarity to an earlier (lower-id) cluster member reaches the
+    threshold — exactly the released implementation's upper-triangular
+    "max over the triu row" keep rule, with vec_id order standing in
+    for its arbitrary-but-fixed row order.
+
+    bucket_col is the coarse quantizer: ``kmeans_assign``'s ``cluster``
+    is the paper's k-means choice (the scale path — pairwise cost is
+    bounded by the largest cluster, the paper's own cost model);
+    ``with_hyperplane_bucket`` gives a deterministic ANSI-reproducible
+    bucket for oracle checking. Cross-cluster near-dups are missed by
+    construction (the paper accepts this recall/cost tradeoff).
+
+    Returns one row PER CORPUS DOC: (vec_id, bucket, max_prior_sim,
+    dup_of, kept) where max_prior_sim = max rounded cosine to any
+    lower-id same-bucket doc (-1.0 if none), dup_of = the LOWEST-id
+    such doc with cosine >= threshold (-1 if kept), kept = no earlier
+    same-bucket doc reaches the threshold. Cosines are rounded to 4
+    decimals BEFORE the max/threshold (round-before-use rule) so the
+    keep decision is bit-identical across engines.
+
+    Scale shape: one bucket equi-join (pair space bounded per cluster,
+    never corpus-quadratic), one map-side-combinable groupBy(vec_b),
+    one left join back to the corpus row set. No driver materialization.
+    """
+    a = embeddings.select(F.col("vec_id").alias("vec_a"),
+                          F.col("embedding").alias("emb_a"),
+                          F.col(bucket_col).alias("bucket"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"),
+                          F.col("embedding").alias("emb_b"),
+                          F.col(bucket_col).alias("bucket"))
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cos_sim",
+                         F.round(_cosine(F.col("emb_a"),
+                                         F.col("emb_b")), 4)))
+    agg = pairs.groupBy("vec_b").agg(
+        F.max("cos_sim").alias("max_prior_sim"),
+        F.min(F.when(F.col("cos_sim") >= threshold,
+                     F.col("vec_a"))).alias("dup_of"))
+    base = embeddings.select("vec_id", F.col(bucket_col).alias("bucket"))
+    out = base.join(agg, base.vec_id == agg.vec_b, "left")
+    return out.select(
+        "vec_id", "bucket",
+        F.coalesce(F.col("max_prior_sim"), F.lit(-1.0))
+         .alias("max_prior_sim"),
+        F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+        F.col("dup_of").isNull().alias("kept"))
