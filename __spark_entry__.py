@@ -735,6 +735,22 @@ def _q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_host_stats(pages)
 
 
+HOST_CAP = 3  # per-host page quota (synthetic hosts hold ~n/57 pages)
+
+
+def _q_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (domain balancing): keep the HOST_CAP
+    lowest url-hash pages of each host. Oracle-facing naive
+    single-window formulation; the bucketed scale path
+    (webtext.cap_per_host) is pinned row-identical by
+    tests/test_webtext.py — the token_budget_sample split."""
+    from tilemaker_spark.operators.webtext import cap_per_host_naive
+    pages = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    out = cap_per_host_naive(pages, max_per_host=HOST_CAP)
+    return out.select("doc_id", "url", "host", "n_host_pages",
+                      "host_rank")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect+redact: spans injected deterministically from doc_id
     (1-2 emails, an IPv4, a phone per doc), scrubbed text md5-digested
@@ -1457,6 +1473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family evidenced in-window by stratified_sample /
         # token_budget_sample, oracle-checked by tools/check_contract.py
         "dsir_select": _q_dsir_select,
+        # round-5 per-domain quota cap; window full — host-parsing
+        # sibling url_host_stats is in-window, oracle-checked by
+        # tools/check_contract.py, scale path pytest-pinned to naive
+        "host_quota": _q_host_quota,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2371,6 +2391,27 @@ SELECT host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,
        round(avg(length(text)), 6) AS avg_chars
 FROM h GROUP BY 1, 2"""
+
+    q["host_quota"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+         || 'site' || CAST(doc_id % {HOST_MOD} AS VARCHAR)
+         || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (SELECT doc_id, url,
+             regexp_replace(lower(regexp_extract(url, '{HOST_RE}', 1)),
+                            '^www\\.', '') AS host,
+             CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) AS k
+      FROM pages),
+r AS (SELECT doc_id, url, host,
+             CAST(count(*) OVER (PARTITION BY host) AS BIGINT)
+                 AS n_host_pages,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY k, url)
+                  AS INT) AS host_rank
+      FROM h)
+SELECT doc_id, url, host, n_host_pages, host_rank
+FROM r WHERE host_rank <= {HOST_CAP}"""
 
     q["pii_scrub"] = f"""
 WITH p AS (

@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "build_vocab",
     "crawl_delta",
+    # round-5 closers, third wave: SemDeDup, DSIR selection, host quota
+    "semantic_dedup",
+    "dsir_select",
+    "host_quota",
 ]
 
 

@@ -110,7 +110,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # stratified_sample/token_budget_sample are in-window,
                       # and it is oracle-checked by check_contract +
                       # replay-pinned by tests/test_sampling.py
-                      "dsir_select"}
+                      "dsir_select",
+                      # round-5 per-domain quota cap, added with the window
+                      # already full; host-parsing sibling url_host_stats is
+                      # in-window, and it is oracle-checked by
+                      # check_contract (naive twin) with the bucketed scale
+                      # path pinned row-identical by tests/test_webtext.py
+                      "host_quota"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -457,3 +457,47 @@ def test_gopher_rules_boundaries(spark):
     assert got[2][2] is False and got[2][5] is False
     assert got[3][3] is False and got[3][5] is False
     assert got[4][4] is False and got[4][5] is False
+
+
+def test_cap_per_host_scale_matches_naive(spark):
+    """Bucketed cap_per_host == single-window naive, row for row,
+    including a planted mega-host and hosts under the cap."""
+    from tilemaker_spark.operators.webtext import (
+        cap_per_host, cap_per_host_naive)
+
+    rows = []
+    for i in range(400):
+        host = "mega.example" if i % 2 == 0 else f"s{i % 7}.example"
+        www = "www." if i % 3 == 0 else ""
+        rows.append((i, f"https://{www}{host}/p/{i}"))
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+
+    cols = ["doc_id", "url", "host", "n_host_pages", "host_rank"]
+    for cap in (1, 3, 1000):
+        a = sorted(map(tuple, cap_per_host(pages, cap)
+                       .select(*cols).collect()))
+        b = sorted(map(tuple, cap_per_host_naive(pages, cap)
+                       .select(*cols).collect()))
+        assert a == b, f"cap={cap}"
+        hosts = {}
+        for _, _, h, n, r in a:
+            hosts.setdefault(h, []).append((r, n))
+        for h, rs in hosts.items():
+            ranks = sorted(r for r, _ in rs)
+            assert ranks == list(range(1, min(cap, rs[0][1]) + 1)), h
+    # cap=1000 exceeds every host's size: nothing dropped
+    assert len(a) == 400
+
+
+def test_cap_per_host_deterministic_keepers(spark):
+    """The kept set is a pure function of the urls — rerun-identical
+    and unaffected by input partitioning."""
+    from tilemaker_spark.operators.webtext import cap_per_host
+
+    rows = [(i, f"https://h{i % 5}.example/p/{i}") for i in range(200)]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    k1 = {r.url for r in cap_per_host(pages, 4).collect()}
+    k2 = {r.url for r in
+          cap_per_host(pages.repartition(13), 4).collect()}
+    assert k1 == k2
+    assert len(k1) == 20  # 5 hosts x cap 4

@@ -522,3 +522,95 @@ def crawl_delta(old_pages: DataFrame, new_pages: DataFrame,
     return (o.join(n, key_col, "full_outer")
             .select(key_col, "old_hash", "new_hash",
                     status.alias("status")))
+
+
+def _norm_host() -> F.Column:
+    """Lowercased host with a leading ``www.`` stripped — the shared
+    normalization of `url_host_stats`."""
+    raw = F.lower(F.regexp_extract("url", HOST_RE, 1))
+    return F.regexp_replace(raw, "^www\\.", "")
+
+
+def cap_per_host_naive(pages: DataFrame, max_per_host: int = 2,
+                       key_col: str = "url") -> DataFrame:
+    """Per-domain quota cap, single-window reference formulation (the
+    ORACLE-FACING variant, same split as `token_budget_sample_naive`):
+    keep at most ``max_per_host`` pages per normalized host, chosen as
+    the lowest 60-bit url-hash keys — deterministic across reruns and
+    executor placement. One `Window.partitionBy(host)` puts an entire
+    host in one partition (a mega-host is the classic straggler), so
+    production uses the bucketed :func:`cap_per_host`, pinned
+    row-identical by pytest.
+
+    Returns the surviving pages + (host, n_host_pages, host_rank)."""
+    from tilemaker_spark.operators.dedup import hash_key60
+
+    p = (pages.withColumn("host", _norm_host())
+         .withColumn("_key", hash_key60(key_col)))
+    w = Window.partitionBy("host").orderBy("_key", key_col)
+    wc = Window.partitionBy("host")
+    return (p.withColumn("n_host_pages",
+                         F.count("*").over(wc).cast("long"))
+            .withColumn("host_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("host_rank") <= max_per_host)
+            .drop("_key"))
+
+
+def cap_per_host(pages: DataFrame, max_per_host: int = 2,
+                 key_col: str = "url") -> DataFrame:
+    """Per-domain quota cap (domain balancing — the C4/RefinedWeb-style
+    "no single domain dominates the mix" stage): keep at most
+    ``max_per_host`` pages per normalized host, deterministically (the
+    ``max_per_host`` lowest 60-bit url-hash keys win, ties broken by
+    url), with per-host accounting columns.
+
+    Scale shape — the two-level bucket decomposition of
+    `token_budget_sample`, re-keyed for an UNBOUNDED group set (hosts
+    are millions, so nothing here is broadcast):
+
+    1. per-(host, bucket) counts, bucket = top 12 bits of the hash key
+       (one map-side-combinable groupBy; <= 4096 rows per host);
+    2. per-host exclusive prefix counts over buckets — a window of
+       <= 4096 rows per host, millions of independent partitions;
+    3. buckets whose whole prefix already holds ``max_per_host`` rows
+       are pruned BEFORE the doc-level work (for small caps that drops
+       ~all of a mega-host's pages without ranking them);
+    4. survivors rank within (host, bucket) — partition size bounded by
+       host_pages/4096, so a mega-host becomes 4096 small sorts instead
+       of one straggler — offset by the bucket's exclusive prefix.
+
+    The prefix/totals joins are plain host-keyed equi-joins (NOT
+    broadcasts): both sides hash-partition on host, and under a
+    host-bucketed layout they are exchange-free. Output is identical
+    to :func:`cap_per_host_naive` row-for-row (pytest-pinned).
+
+    Returns the surviving pages + (host, n_host_pages, host_rank)."""
+    from tilemaker_spark.operators.dedup import hash_key60
+
+    key = hash_key60(key_col)
+    base = (pages.withColumn("host", _norm_host())
+            .withColumn("_key", key)
+            .withColumn("_bucket", F.shiftrightunsigned("_key", 48)))
+
+    hist = (base.groupBy("host", "_bucket")
+            .agg(F.count("*").alias("_bcnt")))
+    wb = Window.partitionBy("host").orderBy("_bucket")
+    prefix = (hist
+              .withColumn("_cnt_excl",
+                          F.coalesce(
+                              F.sum("_bcnt").over(
+                                  wb.rowsBetween(Window.unboundedPreceding,
+                                                 -1)), F.lit(0)))
+              .filter(F.col("_cnt_excl") < max_per_host)
+              .select("host", "_bucket", "_cnt_excl"))
+    totals = hist.groupBy("host").agg(
+        F.sum("_bcnt").cast("long").alias("n_host_pages"))
+
+    wd = Window.partitionBy("host", "_bucket").orderBy("_key", key_col)
+    return (base.join(prefix, ["host", "_bucket"])
+            .withColumn("host_rank",
+                        (F.col("_cnt_excl") +
+                         F.row_number().over(wd)).cast("int"))
+            .filter(F.col("host_rank") <= max_per_host)
+            .join(totals, "host")
+            .drop("_key", "_bucket", "_cnt_excl"))
