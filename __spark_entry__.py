@@ -600,6 +600,45 @@ def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url", "host", "blocked", "rule_id")
 
 
+FUNNEL_URL_MOD = 250  # snapshots per url ~ n/250 (2 at sf0.01, 20 at sf0.1)
+_FUNNEL_HTML_PRE = ('<html><head><title>T</title><style>p '
+                    '</style></head><body><h1>H</h1><p>')
+_FUNNEL_HTML_POST = '</p><script>var a=1;</script></body></html>'
+
+
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained curation flagship: raw HTML pages -> blocklist ->
+    latest-snapshot -> extract -> exact dedup -> Gopher rules, with
+    the per-doc drop reason hash-pinned end to end. The synthesized
+    crawl exercises every stage: urls collide on doc_id % 250
+    (re-crawl snapshots), hosts site7/site13 are blocklisted, every
+    doc_id%10==9 page carries one of five shared boilerplate bodies
+    (exact dups among survivors; the lone keeper then falls at the
+    quality stage as too short)."""
+    from tilemaker_spark.operators.webtext import curation_funnel
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    urlkey = did % FUNNEL_URL_MOD
+    hostn = (urlkey % HOST_MOD).cast("string")
+    body = F.when(did % 10 == 9,
+                  F.concat(F.lit("boiler plate page variant "),
+                           (did % 50).cast("string"))) \
+            .otherwise(F.col("text"))
+    html = F.concat(F.lit(_FUNNEL_HTML_PRE), body,
+                    F.lit(_FUNNEL_HTML_POST))
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), hostn, F.lit(".example/p/"),
+                 urlkey.cast("string")).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=did.cast("double"))).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"))
+    rules = spark.createDataFrame(
+        [(1, "host", "site7.example"), (2, "host", "site13.example")],
+        "rule_id long, kind string, pattern string")
+    return curation_funnel(pages, rules)
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 keywords per document by the tf/df rarity score (exact
     IEEE division — engine-portable, unlike libm ln; see operator
@@ -1477,6 +1516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sibling url_host_stats is in-window, oracle-checked by
         # tools/check_contract.py, scale path pytest-pinned to naive
         "host_quota": _q_host_quota,
+        # round-5 chained curation flagship (blocklist -> latest ->
+        # extract -> dedup -> quality, per-doc reason); window full —
+        # every stage is independently oracle-evidenced (url_blocklist,
+        # url_dedup_latest, html_extract, dedup_exact, gopher_rules)
+        # and the chain is oracle-checked by tools/check_contract.py
+        "curation_funnel": _q_curation_funnel,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2189,6 +2234,67 @@ SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_ratio,
         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         AND stop_hits >= 2 AND alpha_ratio >= 0.8) AS keep
 FROM m"""
+
+    from tilemaker_spark.operators.text_analysis import SQL_EXTRACT_TEXT
+    _fx = SQL_EXTRACT_TEXT.format(col="html")
+    q["curation_funnel"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'site' || CAST((doc_id % {FUNNEL_URL_MOD}) % {HOST_MOD} AS VARCHAR)
+           || '.example' AS host,
+         'https://site'
+           || CAST((doc_id % {FUNNEL_URL_MOD}) % {HOST_MOD} AS VARCHAR)
+           || '.example/p/' || CAST(doc_id % {FUNNEL_URL_MOD} AS VARCHAR)
+           AS url,
+         doc_id AS ts,
+         '{_FUNNEL_HTML_PRE}'
+           || CASE WHEN doc_id % 10 = 9
+                   THEN 'boiler plate page variant '
+                        || CAST(doc_id % 50 AS VARCHAR)
+                   ELSE text END
+           || '{_FUNNEL_HTML_POST}' AS html
+  FROM documents),
+f1 AS (SELECT *, host IN ('site7.example', 'site13.example') AS blocked
+       FROM pages),
+f2 AS (SELECT doc_id,
+              row_number() OVER (PARTITION BY url
+                                 ORDER BY ts DESC, doc_id DESC) AS rn
+       FROM f1 WHERE NOT blocked),
+ext AS (SELECT doc_id, {_fx} AS text_ex FROM pages),
+surv AS (SELECT f2.doc_id, md5(text_ex) AS h
+         FROM f2 JOIN ext ON f2.doc_id = ext.doc_id WHERE rn = 1),
+keepers AS (SELECT h, min(doc_id) AS keeper FROM surv GROUP BY h),
+dup AS (SELECT surv.doc_id, surv.doc_id <> k.keeper AS is_dup
+        FROM surv JOIN keepers k USING (h)),
+g AS (SELECT doc_id, string_split(text_ex, ' ') AS ts_arr FROM ext),
+gm AS (SELECT doc_id,
+              CAST(len(ts_arr) AS BIGINT) AS n_words,
+              ROUND(CAST(list_sum(list_transform(ts_arr, x -> length(x)))
+                         AS DOUBLE) / len(ts_arr), 6) AS mwl,
+              CAST(list_contains(ts_arr, 'the') AS INT)
+                + CAST(list_contains(ts_arr, 'a') AS INT)
+                + CAST(list_contains(ts_arr, 'of') AS INT)
+                + CAST(list_contains(ts_arr, 'and') AS INT)
+                + CAST(list_contains(ts_arr, 'to') AS INT)
+                + CAST(list_contains(ts_arr, 'in') AS INT) AS sh,
+              ROUND(CAST(len(list_filter(ts_arr,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+                         AS DOUBLE) / len(ts_arr), 6) AS ar
+       FROM g),
+qk AS (SELECT doc_id, (n_words >= 50 AND n_words <= 100000
+                       AND mwl >= 3.0 AND mwl <= 10.0
+                       AND sh >= 2 AND ar >= 0.8) AS q_keep FROM gm),
+reasons AS (
+  SELECT f1.doc_id, f1.host,
+         CASE WHEN f1.blocked THEN 'blocked'
+              WHEN f2.rn > 1 THEN 'stale'
+              WHEN d.is_dup THEN 'dup'
+              WHEN NOT qk.q_keep THEN 'quality'
+              ELSE 'kept' END AS reason
+  FROM f1 LEFT JOIN f2 ON f1.doc_id = f2.doc_id
+          LEFT JOIN dup d ON f1.doc_id = d.doc_id
+          JOIN qk ON f1.doc_id = qk.doc_id)
+SELECT doc_id, host, reason, reason = 'kept' AS kept FROM reasons"""
 
     # crawl delta: one FULL OUTER join of (url, md5(text)) projections
     q["crawl_delta"] = f"""

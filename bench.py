@@ -82,10 +82,12 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "build_vocab",
     "crawl_delta",
-    # round-5 closers, third wave: SemDeDup, DSIR selection, host quota
+    # round-5 closers, third wave: SemDeDup, DSIR selection, host quota,
+    # and the chained curation funnel flagship
     "semantic_dedup",
     "dsir_select",
     "host_quota",
+    "curation_funnel",
 ]
 
 

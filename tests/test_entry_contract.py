@@ -116,7 +116,15 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # in-window, and it is oracle-checked by
                       # check_contract (naive twin) with the bucketed scale
                       # path pinned row-identical by tests/test_webtext.py
-                      "host_quota"}
+                      "host_quota",
+                      # round-5 chained curation flagship, added with the
+                      # window already full; every constituent stage
+                      # (url_blocklist, url_dedup_latest, html_extract,
+                      # dedup_exact, gopher_rules) is independently
+                      # oracle-evidenced, and the chain itself is
+                      # oracle-checked by check_contract + stage-pinned by
+                      # tests/test_webtext.py
+                      "curation_funnel"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

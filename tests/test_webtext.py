@@ -501,3 +501,68 @@ def test_cap_per_host_deterministic_keepers(spark):
           cap_per_host(pages.repartition(13), 4).collect()}
     assert k1 == k2
     assert len(k1) == 20  # 5 hosts x cap 4
+
+
+def test_curation_funnel_replay_all_reasons(spark):
+    """curation_funnel == a pure-Python replay of the staged screen on
+    a small crawl planted to exercise every drop reason, including the
+    stage ORDER (a blocked page never shows as stale/dup, a stale
+    page's text never claims dup-keeper status)."""
+    import hashlib
+    import re
+
+    from tilemaker_spark.operators.webtext import curation_funnel
+
+    good = ("the quick brown fox and a dog of the town go to market in "
+            "the morning and talk of many things " * 3).strip()
+    rows = []
+    for i in range(60):
+        host = "bad.example" if i % 6 == 0 else f"h{i % 5}.example"
+        url = f"https://{host}/p/{i % 20}"  # 3 snapshots per url
+        body = good if i % 4 else "tiny text"       # some fail quality
+        if i in (41, 53):
+            body = "shared duplicate body"          # planted dup pair...
+        if i == 57:
+            body = "shared duplicate body"          # ...plus a third
+        rows.append((i, url, i, f"<html><body><p>{body}</p></body></html>"))
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts long, html string") \
+        .withColumn("html", F.encode("html", "utf-8"))
+    rules = spark.createDataFrame([(1, "host", "bad.example")],
+                                  "rule_id long, kind string, pattern string")
+    out = {r.doc_id: r for r in curation_funnel(pages, rules,
+                                                min_words=10).collect()}
+    assert len(out) == 60
+
+    # pure-Python replay
+    def extract(html):
+        s = re.sub(r"<[^>]*>", " ", html)
+        return re.sub(r"\s+", " ", s).strip()
+
+    blocked = {i for i, u, t, h in rows if "bad.example" in u}
+    latest = {}
+    for i, u, t, h in rows:
+        if i in blocked:
+            continue
+        if u not in latest or t > latest[u][1]:
+            latest[u] = (i, t)
+    fresh = {v[0] for v in latest.values()}
+    texts = {i: extract(h) for i, u, t, h in rows}
+    keeper = {}
+    for i in sorted(fresh):
+        keeper.setdefault(hashlib.md5(texts[i].encode()).hexdigest(), i)
+    for i, u, t, h in rows:
+        if i in blocked:
+            exp = "blocked"
+        elif i not in fresh:
+            exp = "stale"
+        elif keeper[hashlib.md5(texts[i].encode()).hexdigest()] != i:
+            exp = "dup"
+        elif len(texts[i].split(" ")) < 10:
+            exp = "quality"
+        else:
+            exp = "kept"
+        assert out[i].reason == exp, (i, out[i].reason, exp)
+        assert out[i].kept == (exp == "kept")
+    reasons = {r.reason for r in out.values()}
+    assert reasons == {"blocked", "stale", "dup", "quality", "kept"}

@@ -614,3 +614,75 @@ def cap_per_host(pages: DataFrame, max_per_host: int = 2,
             .filter(F.col("host_rank") <= max_per_host)
             .join(totals, "host")
             .drop("_key", "_bucket", "_cnt_excl"))
+
+
+def curation_funnel(pages: DataFrame, rules: DataFrame,
+                    **gopher_kwargs) -> DataFrame:
+    """The chained web-curation screen (C4/CCNet/RefinedWeb shape) as
+    ONE operator with per-document drop-reason accounting — the funnel
+    a corpus owner actually monitors at 100 TB:
+
+      1. ``blocked``  — UT1-style URL blocklist (`filter_blocked_urls`);
+      2. ``stale``    — not the latest snapshot of its url among
+         unblocked pages (`url_dedup_latest` semantics);
+      3. (extract)    — HTML -> text (`extract_text_from_html`), no drop;
+      4. ``dup``      — exact duplicate of an earlier (lower doc_id)
+         SURVIVOR's extracted text (keep-first, CCNet order: dedup
+         before the quality model);
+      5. ``quality``  — fails the Gopher rule battery (`gopher_rules`);
+      6. ``kept``     — survived everything.
+
+    Each stage is evaluated on the survivors of the previous ones, so
+    the reason is the FIRST failing stage. pages needs (doc_id, url,
+    warc_ts, html); rules as in `filter_blocked_urls`. Returns one row
+    per input page: (doc_id, host, reason, kept).
+
+    Scale shape: page bodies never shuffle — every flag is computed on
+    a slim projection ((doc_id, url, warc_ts) for block/stale;
+    (doc_id, md5(text_extracted)) for dup; extraction and the rule
+    battery are shuffle-free codegen on the scan side) and the final
+    assembly is doc_id-keyed joins of those flag tables. The one
+    content shuffle moves 32-byte hashes; the stale window is the
+    url_dedup shuffle. The survivor-hash table feeds two branches
+    (keeper min + dup join) — persisted once, caller releases.
+    """
+    from tilemaker_spark.operators.text_analysis import (
+        extract_text_from_html, gopher_rules)
+
+    slim = pages.select("doc_id", "url", "warc_ts")
+    b = filter_blocked_urls(slim, rules).select("doc_id", "host", "blocked")
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"),
+                                          F.desc("doc_id"))
+    fresh = (slim
+             .join(b.filter(~F.col("blocked")).select("doc_id"), "doc_id")
+             .withColumn("_rn", F.row_number().over(w))
+             .select("doc_id", (F.col("_rn") > 1).alias("stale")))
+
+    ext = extract_text_from_html(pages.select("doc_id", "html"))
+    hashes = ext.select("doc_id", F.md5("text_extracted").alias("_h"))
+    g = (gopher_rules(ext.select(
+             "doc_id", F.col("text_extracted").alias("text")),
+             **gopher_kwargs)
+         .select("doc_id", F.col("keep").alias("_q_keep")))
+
+    surv = (hashes
+            .join(fresh.filter(~F.col("stale")).select("doc_id"), "doc_id")
+            .persist())
+    keepers = surv.groupBy("_h").agg(F.min("doc_id").alias("_keeper"))
+    dup = (surv.join(keepers, "_h")
+           .select("doc_id",
+                   (F.col("doc_id") != F.col("_keeper")).alias("is_dup")))
+
+    reason = (F.when(F.col("blocked"), "blocked")
+              .when(F.col("stale"), "stale")
+              .when(F.col("is_dup"), "dup")
+              .when(~F.col("_q_keep"), "quality")
+              .otherwise("kept"))
+    out = (b.join(fresh, "doc_id", "left")
+           .join(dup, "doc_id", "left")
+           .join(g, "doc_id")
+           .withColumn("reason", reason)
+           .select("doc_id", "host", "reason",
+                   (F.col("reason") == "kept").alias("kept")))
+    out._internal_persists = [surv]
+    return out

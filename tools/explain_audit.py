@@ -37,7 +37,7 @@ AUDIT = [
     # round-5 closers
     "classifier_score", "tfidf_keywords", "extract_links",
     "link_pipeline", "url_blocklist", "dedup_paragraphs", "anchor_terms",
-    "semantic_dedup", "dsir_select", "host_quota",
+    "semantic_dedup", "dsir_select", "host_quota", "curation_funnel",
 ]
 
 
