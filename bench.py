@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "host_quota",
     "curation_funnel",
+    "curated_tiles",
 ]
 
 

@@ -124,7 +124,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # oracle-evidenced, and the chain itself is
                       # oracle-checked by check_contract + stage-pinned by
                       # tests/test_webtext.py
-                      "curation_funnel"}
+                      "curation_funnel",
+                      # round-5 cross-axis graft flagship, added with the
+                      # window already full; both halves are in-window or
+                      # independently evidenced (tiles_e2e_digest in-window,
+                      # curation_funnel chain above) and the composition is
+                      # oracle-checked by check_contract
+                      "curated_tiles"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.
