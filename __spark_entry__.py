@@ -639,6 +639,18 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(pages, rules)
 
 
+BPE_MERGES = 3
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training over the corpus word table: the first 3
+    learned merges with their weighted pair frequencies, against a
+    DuckDB twin that unrolls the same three find-argmax-then-replace
+    iterations (the host_pagerank unrolled-recurrence pattern)."""
+    from tilemaker_spark.operators.text_analysis import learn_bpe_merges
+    return learn_bpe_merges(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 keywords per document by the tf/df rarity score (exact
     IEEE division — engine-portable, unlike libm ln; see operator
@@ -1558,6 +1570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window) and the composition is oracle-checked by
         # tools/check_contract.py
         "curated_tiles": _q_curated_tiles,
+        # round-5 BPE merge training; window full — vocab-init sibling
+        # build_vocab's evidence family is in-window via token
+        # accounting, oracle-checked by tools/check_contract.py
+        "bpe_merges": _q_bpe_merges,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2367,6 +2383,50 @@ SELECT term, n,
        CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
        AS vocab_id
 FROM tf"""
+
+    # BPE merge training: the three find-argmax-then-replace rounds
+    # unrolled (host_pagerank's recurrence pattern); the padded
+    # 5-pass replace is the operator's defined merge semantics
+    # (_BPE_REPLACE_PASSES), identical substring-replace behavior on
+    # both engines.
+    def _bpe_nest(expr: str, pat: str, rep: str, n: int = 5) -> str:
+        for _ in range(n):
+            expr = f"replace({expr}, {pat}, {rep})"
+        return expr
+
+    _bpe_ctes = [
+        "w0 AS (SELECT word, count(*) AS wn FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE length(word) > 0 GROUP BY word)",
+        r"s0 AS (SELECT '|' || regexp_replace(word, '(.)', '\1|', 'g') "
+        "AS seq, wn FROM w0)",
+    ]
+    _bpe_sel = []
+    for _k in range(1, BPE_MERGES + 1):
+        _bpe_ctes.append(
+            f"t{_k} AS (SELECT string_split(trim(seq, '|'), '|') AS t, wn "
+            f"FROM s{_k - 1} "
+            f"WHERE len(string_split(trim(seq, '|'), '|')) >= 2)")
+        _bpe_ctes.append(
+            f"p{_k} AS (SELECT t[i] AS lhs, t[i+1] AS rhs, "
+            f"SUM(wn) AS pair_n "
+            f"FROM t{_k}, UNNEST(range(1, len(t))) u(i) GROUP BY 1, 2)")
+        _bpe_ctes.append(
+            f"m{_k} AS (SELECT lhs, rhs, pair_n, "
+            f"'|' || lhs || '|' || rhs || '|' AS pat, "
+            f"'|' || lhs || rhs || '|' AS rep "
+            f"FROM p{_k} ORDER BY pair_n DESC, lhs, rhs LIMIT 1)")
+        if _k < BPE_MERGES:
+            _bpe_ctes.append(
+                f"s{_k} AS (SELECT "
+                + _bpe_nest("seq", f"(SELECT pat FROM m{_k})",
+                            f"(SELECT rep FROM m{_k})")
+                + f" AS seq, wn FROM s{_k - 1})")
+        _bpe_sel.append(
+            f"SELECT CAST({_k} AS INT) AS rank, lhs, rhs, "
+            f"CAST(pair_n AS BIGINT) AS pair_n FROM m{_k}")
+    q["bpe_merges"] = ("WITH " + ",\n".join(_bpe_ctes) + "\n"
+                       + "\nUNION ALL\n".join(_bpe_sel))
 
     # anchor-terms closed form: the (dst, term) multiset derived from
     # the same doc_id math that synthesized the anchors

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "host_quota",
     "curation_funnel",
     "curated_tiles",
+    "bpe_merges",
 ]
 
 

@@ -130,7 +130,14 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # independently evidenced (tiles_e2e_digest in-window,
                       # curation_funnel chain above) and the composition is
                       # oracle-checked by check_contract
-                      "curated_tiles"}
+                      "curated_tiles",
+                      # round-5 BPE merge training, added with the window
+                      # already full; vocab/token accounting siblings
+                      # (build_vocab, bpe_token_count, token_stats) cover
+                      # the family, and it is oracle-checked by
+                      # check_contract (unrolled-recurrence twin) +
+                      # replay-pinned by tests/test_text_lm.py
+                      "bpe_merges"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

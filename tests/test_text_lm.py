@@ -122,3 +122,94 @@ def test_build_vocab_scale_path_matches_naive_and_replay(spark):
     # fixture sanity: count ties exist (within-count ordering exercised)
     top = Counter(t for _, text in docs for t in text.split(" "))
     assert len(set(top.values())) < len(top)
+
+
+def _bpe_replay(texts, n_merges, passes=5):
+    """Pure-Python replay of learn_bpe_merges' DEFINED semantics:
+    weighted pair argmax with (lhs, rhs) tie-break, then the padded
+    5-pass substring replace."""
+    wc = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    seqs = {("|" + "|".join(w) + "|"): n for w, n in wc.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = {}
+        for s, n in seqs.items():
+            toks = s.strip("|").split("|")
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, n))
+        pat, rep = f"|{l}|{r}|", f"|{l}{r}|"
+        nxt = {}
+        for s, cnt in seqs.items():
+            for _ in range(passes):
+                s = s.replace(pat, rep)
+            nxt[s] = nxt.get(s, 0) + cnt
+        seqs = nxt
+    return merges
+
+
+def test_bpe_merges_matches_python_replay(spark):
+    """learn_bpe_merges == the pure-Python replay on synthetic docs,
+    including repeated-pair runs (aaaa) that need multiple replace
+    passes and frequency ties broken lexicographically."""
+    from tilemaker_spark.operators.text_analysis import learn_bpe_merges
+
+    texts = ["the theme thesis " * 4 + "aaaa aaaa baab",
+             "zz zz zz the other theory " * 3,
+             "ab ab ab cd cd"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = learn_bpe_merges(docs, n_merges=5)
+    got = [tuple(r) for r in out.collect()]
+    for h in out._internal_persists:
+        h.unpersist()
+    assert got == _bpe_replay(texts, 5)
+
+
+def test_bpe_merges_canonical_on_runfree_words(spark):
+    """On words with no same-pair runs the defined semantics coincide
+    with canonical BPE (every occurrence merged per step) — checked
+    against an independent canonical implementation."""
+    from tilemaker_spark.operators.text_analysis import learn_bpe_merges
+
+    texts = ["lower lowest low newer newest new " * 3]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    out = learn_bpe_merges(docs, n_merges=4)
+    got = [(r.lhs, r.rhs) for r in out.collect()]
+    for h in out._internal_persists:
+        h.unpersist()
+
+    # canonical BPE (Sennrich alg. 1, no end-of-word marker), same ties
+    wc = {}
+    for w in texts[0].split(" "):
+        if w:
+            wc[w] = wc.get(w, 0) + 1
+    vocab = {tuple(w): n for w, n in wc.items()}
+    exp = []
+    for _ in range(4):
+        pc = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        (l, r), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((l, r))
+        nv = {}
+        for sym, n in vocab.items():
+            out_sym, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out_sym.append(l + r)
+                    i += 2
+                else:
+                    out_sym.append(sym[i])
+                    i += 1
+            nv[tuple(out_sym)] = nv.get(tuple(out_sym), 0) + n
+        vocab = nv
+    assert got == exp

@@ -558,3 +558,82 @@ def gopher_rules(docs: DataFrame, min_words: int = 50,
         r_words.alias("r_words"), r_wordlen.alias("r_wordlen"),
         r_stop.alias("r_stop"), r_alpha.alias("r_alpha"),
         (r_words & r_wordlen & r_stop & r_alpha).alias("keep"))
+
+
+# ------------------------------------------------- BPE merge training
+
+#: replace passes per merge step — a padded-separator replace consumes
+#: the shared boundary pipe, so one pass merges only alternating
+#: occurrences inside a run of the same pair; each pass halves the
+#: remainder, and 5 passes reach the fixpoint for runs up to 2^5
+#: adjacent occurrences (words far longer than any real token).
+_BPE_REPLACE_PASSES = 5
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """BPE merge training (Sennrich et al. 2016, arXiv:1508.07909) —
+    learn the first ``n_merges`` byte-pair merges from the corpus:
+    repeatedly find the adjacent symbol pair with the highest total
+    frequency (weighted by word count) and fuse it into one symbol.
+    `build_vocab` is the init step of this algorithm; this is the
+    iterative half that actually learns a tokenizer.
+
+    Symbol sequences are pipe-padded strings (``|h|e|l|l|o|``) so the
+    merge is a plain substring replace — identical non-overlapping
+    left-to-right semantics on any engine — applied
+    ``_BPE_REPLACE_PASSES`` times per step (see the constant; a single
+    pass misses alternating occurrences inside a same-pair run).
+    Ties on pair frequency break lexicographically on (lhs, rhs) —
+    binary string order, identical across engines for the SQL twin.
+    Words containing a literal ``|`` would corrupt the padding; both
+    engines transform them identically so parity holds, but callers
+    should pre-filter such tokens for semantic correctness.
+
+    Returns (rank, lhs, rhs, pair_n): the learned merge table in
+    order, pair_n the merged pair's weighted frequency at learn time.
+
+    Scale shape: training runs on the DISTINCT-WORD count table (the
+    classic BPE trick — corpus scale enters only through the one
+    word-count groupBy; at 10¹² docs the word table is ~10⁸ rows).
+    Each step is one map-side-combinable pair-count groupBy plus a
+    driver-side argmax of ONE row (``limit(1)`` — the same bounded
+    driver action as k-means' centroid pull), then a codegen string
+    replace. Driver traffic is O(n_merges) rows total.
+    """
+    spark = docs.sparkSession
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.length("word") > 0)
+          .groupBy("word").agg(F.count("*").alias("wn")))
+    cur = wc.select(
+        F.concat(F.lit("|"),
+                 F.regexp_replace("word", "(.)", "$1|")).alias("seq"),
+        "wn").persist()
+
+    merges = []
+    handles = [cur]
+    for rank in range(1, n_merges + 1):
+        toks = cur.select(
+            F.split(F.expr("trim(BOTH '|' FROM seq)"), "[|]").alias("t"),
+            "wn").filter(F.size("t") >= 2)
+        pairs = toks.select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), i -> struct("
+            "element_at(t, i) AS lhs, element_at(t, i + 1) AS rhs))"))
+            .alias("p"), "wn")
+        pc = pairs.groupBy("p.lhs", "p.rhs").agg(F.sum("wn").alias("pair_n"))
+        top = pc.orderBy(F.desc("pair_n"), "lhs", "rhs").limit(1).collect()
+        if not top:
+            break
+        t = top[0]
+        merges.append((rank, t.lhs, t.rhs, t.pair_n))
+        pat = f"|{t.lhs}|{t.rhs}|"
+        rep = f"|{t.lhs}{t.rhs}|"
+        s = F.col("seq")
+        for _ in range(_BPE_REPLACE_PASSES):
+            s = F.replace(s, F.lit(pat), F.lit(rep))
+        nxt = cur.select(s.alias("seq"), "wn").persist()
+        handles.append(nxt)
+        cur = nxt
+    out = spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_n long")
+    out._internal_persists = handles
+    return out
