@@ -651,6 +651,20 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(_docs(spark, sf_dir), n_merges=BPE_MERGES)
 
 
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→apply tokenizer loop: learn 3 merges on the corpus,
+    then tokenize every document with them — per-doc word/char/token
+    accounting, against a twin that chains the unrolled training
+    recurrence into the same per-word replace chain."""
+    from tilemaker_spark.operators.text_analysis import (
+        apply_bpe, learn_bpe_merges)
+    d = _docs(spark, sf_dir)
+    merges = learn_bpe_merges(d, n_merges=BPE_MERGES)
+    out = apply_bpe(d, merges)
+    out._internal_persists = getattr(merges, "_internal_persists", [])
+    return out
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 keywords per document by the tf/df rarity score (exact
     IEEE division — engine-portable, unlike libm ln; see operator
@@ -1574,6 +1588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # build_vocab's evidence family is in-window via token
         # accounting, oracle-checked by tools/check_contract.py
         "bpe_merges": _q_bpe_merges,
+        # round-5 BPE train->apply tokenizer loop; window full —
+        # oracle-checked by tools/check_contract.py (training recurrence
+        # chained into the per-word replace chain)
+        "bpe_tokenize": _q_bpe_tokenize,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2427,6 +2445,30 @@ FROM tf"""
             f"CAST(pair_n AS BIGINT) AS pair_n FROM m{_k}")
     q["bpe_merges"] = ("WITH " + ",\n".join(_bpe_ctes) + "\n"
                        + "\nUNION ALL\n".join(_bpe_sel))
+
+    # train->apply loop: the same unrolled training CTEs; the learned
+    # (pat, rep) pairs are flattened into ONE single-row CTE and
+    # cross-joined in (a scalar subquery per replace would re-run the
+    # whole training recurrence once per reference — measured 57 s vs
+    # ~6 s for the cross-join form)
+    _mm_cols = ", ".join(
+        f"m{_k}.pat AS p{_k}, m{_k}.rep AS r{_k}"
+        for _k in range(1, BPE_MERGES + 1))
+    _mm_from = ", ".join(f"m{_k}" for _k in range(1, BPE_MERGES + 1))
+    _apply_expr = r"'|' || regexp_replace(word, '(.)', '\1|', 'g')"
+    for _k in range(1, BPE_MERGES + 1):
+        _apply_expr = _bpe_nest(_apply_expr, f"p{_k}", f"r{_k}")
+    q["bpe_tokenize"] = ("WITH " + ",\n".join(_bpe_ctes) + f""",
+mm AS (SELECT {_mm_cols} FROM {_mm_from}),
+dw AS (SELECT doc_id, word FROM
+       (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) WHERE length(word) > 0),
+ds AS (SELECT doc_id, word, {_apply_expr} AS seq FROM dw, mm)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(string_split(trim(seq, '|'), '|'))) AS BIGINT)
+           AS n_bpe_tokens
+FROM ds GROUP BY doc_id""")
 
     # anchor-terms closed form: the (dst, term) multiset derived from
     # the same doc_id math that synthesized the anchors

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "curation_funnel",
     "curated_tiles",
     "bpe_merges",
+    "bpe_tokenize",
 ]
 
 

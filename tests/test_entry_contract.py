@@ -137,7 +137,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # the family, and it is oracle-checked by
                       # check_contract (unrolled-recurrence twin) +
                       # replay-pinned by tests/test_text_lm.py
-                      "bpe_merges"}
+                      "bpe_merges",
+                      # round-5 BPE train->apply loop, added with the
+                      # window already full; the trainer above is its
+                      # evidence sibling, and it is oracle-checked by
+                      # check_contract (chained recurrence + replace twin)
+                      # + replay-pinned by tests/test_text_lm.py
+                      "bpe_tokenize"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -213,3 +213,39 @@ def test_bpe_merges_canonical_on_runfree_words(spark):
             nv[tuple(out_sym)] = nv.get(tuple(out_sym), 0) + n
         vocab = nv
     assert got == exp
+
+
+def test_apply_bpe_matches_replay_and_counts(spark):
+    """apply_bpe == the padded-replace replay per word; token count =
+    chars when no merges, and drops by one per applied merge."""
+    from tilemaker_spark.operators.text_analysis import (
+        _BPE_REPLACE_PASSES, apply_bpe, learn_bpe_merges)
+
+    texts = ["the theme then " * 3, "aaaa abab the", "xy"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges_df = learn_bpe_merges(docs, n_merges=3)
+    merges = [(r.lhs, r.rhs) for r in merges_df.orderBy("rank").collect()]
+    out = {r.doc_id: r for r in apply_bpe(docs, merges_df).collect()}
+    for h in merges_df._internal_persists:
+        h.unpersist()
+
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        n_tok = 0
+        for w in words:
+            s = "|" + "|".join(w) + "|"
+            for lhs, rhs in merges:
+                pat, rep = f"|{lhs}|{rhs}|", f"|{lhs}{rhs}|"
+                for _ in range(_BPE_REPLACE_PASSES):
+                    s = s.replace(pat, rep)
+            n_tok += len(s.strip("|").split("|"))
+        r = out[i]
+        assert r.n_words == len(words)
+        assert r.n_chars == sum(len(w) for w in words)
+        assert r.n_bpe_tokens == n_tok
+        assert r.n_bpe_tokens <= r.n_chars  # merges only shrink
+    # no merges -> token count degenerates to char count
+    out0 = {r.doc_id: r for r in apply_bpe(docs, []).collect()}
+    for i in out0:
+        assert out0[i].n_bpe_tokens == out0[i].n_chars

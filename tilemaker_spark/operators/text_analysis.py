@@ -637,3 +637,45 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
         merges, "rank int, lhs string, rhs string, pair_n long")
     out._internal_persists = handles
     return out
+
+
+def apply_bpe(docs: DataFrame, merges) -> DataFrame:
+    """Apply a learned BPE merge table (`learn_bpe_merges` output) to
+    the corpus: per document, the token count after the merges — the
+    train→apply loop of a real tokenizer (`bpe_token_count` is the
+    regex PRE-tokenizer; this applies LEARNED merges).
+
+    ``merges`` is an ordered iterable of (lhs, rhs) pairs or the
+    DataFrame returned by `learn_bpe_merges` (collected driver-side —
+    merge tables are vocab-sized, not corpus-sized). Each merge is the
+    same padded `_BPE_REPLACE_PASSES`-pass substring replace the
+    trainer used, applied in rank order, so apply∘learn is
+    self-consistent by construction.
+
+    Returns (doc_id, n_words, n_chars, n_bpe_tokens).
+
+    Scale shape: a pure codegen Column chain over one scan — zero
+    shuffles before the final per-doc partial-agg groupBy. The chain
+    grows with the merge count; for production vocab sizes (tens of
+    thousands of merges) swap the expression chain for an Arrow-batched
+    pandas UDF applying the same merges with a pair-priority heap —
+    the semantics stay those pinned here on bounded tables.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [(r.lhs, r.rhs)
+                  for r in merges.orderBy("rank").collect()]
+    w = (docs.select("doc_id",
+                     F.explode(F.split("text", " ")).alias("word"))
+         .filter(F.length("word") > 0))
+    s = F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|"))
+    for lhs, rhs in merges:
+        pat, rep = f"|{lhs}|{rhs}|", f"|{lhs}{rhs}|"
+        for _ in range(_BPE_REPLACE_PASSES):
+            s = F.replace(s, F.lit(pat), F.lit(rep))
+    return (w.withColumn("_seq", s)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum(F.length("word")).cast("long").alias("n_chars"),
+                 F.sum(F.size(F.split(
+                     F.expr("trim(BOTH '|' FROM _seq)"), "[|]")))
+                  .cast("long").alias("n_bpe_tokens")))
