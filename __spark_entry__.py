@@ -600,6 +600,34 @@ def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url", "host", "blocked", "rule_id")
 
 
+def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest roundtrip (the Common Crawl format): documents
+    written as per-record-gzip-member WARC (CC layout, cdx-analog
+    sidecar index), re-read via the index-driven parallel scan, and
+    hash-checked in-band — the oracle recomputes every body md5 and
+    byte length closed-form from documents, so a parse bug anywhere in
+    write->compress->seek->gunzip->parse flips the row hash."""
+    import os
+    import tempfile
+
+    from tilemaker_spark.sources import read_warc, write_warc
+    d = _docs(spark, sf_dir).select("doc_id", "text") \
+        .orderBy("doc_id").collect()
+    tmp = tempfile.mkdtemp(prefix="warc_scan_")
+    p = os.path.join(tmp, "docs.warc.gz")
+    write_warc(p, ((f"https://site.example/p/{r.doc_id}",
+                    "2024-01-01T00:00:00Z",
+                    f"<html><body>{r.text}</body></html>".encode())
+                   for r in d))
+    w = read_warc(spark, p)
+    return w.select(
+        F.regexp_extract("url", "p/([0-9]+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.md5("body").alias("body_md5"),
+        F.length("body").cast("long").alias("n_bytes"),
+        "rec_type")
+
+
 FUNNEL_URL_MOD = 250  # snapshots per url ~ n/250 (2 at sf0.01, 20 at sf0.1)
 _FUNNEL_HTML_PRE = ('<html><head><title>T</title><style>p '
                     '</style></head><body><h1>H</h1><p>')
@@ -1592,6 +1620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked by tools/check_contract.py (training recurrence
         # chained into the per-word replace chain)
         "bpe_tokenize": _q_bpe_tokenize,
+        # round-5 WARC ingest roundtrip; window full — binary-source
+        # sibling pbf_scan is pytest-evidenced, and this one IS fully
+        # oracle-checked (closed-form body md5) by check_contract
+        "warc_scan": _q_warc_scan,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2306,6 +2338,14 @@ SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_ratio,
 FROM m"""
 
     from tilemaker_spark.operators.text_analysis import SQL_EXTRACT_TEXT
+    q["warc_scan"] = """
+SELECT doc_id,
+       md5('<html><body>' || text || '</body></html>') AS body_md5,
+       CAST(strlen('<html><body>' || text || '</body></html>')
+            AS BIGINT) AS n_bytes,
+       'resource' AS rec_type
+FROM documents"""
+
     _fx = SQL_EXTRACT_TEXT.format(col="html")
     # the funnel CTE chain is shared verbatim with the curated_tiles
     # composition below (same synthesis, same stages, same reasons)

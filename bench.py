@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "curated_tiles",
     "bpe_merges",
     "bpe_tokenize",
+    "warc_scan",
 ]
 
 

@@ -143,7 +143,14 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # evidence sibling, and it is oracle-checked by
                       # check_contract (chained recurrence + replace twin)
                       # + replay-pinned by tests/test_text_lm.py
-                      "bpe_tokenize"}
+                      "bpe_tokenize",
+                      # round-5 WARC ingest roundtrip, added with the
+                      # window already full; binary-source sibling pbf_scan
+                      # is pytest-evidenced in the same family, and it is
+                      # oracle-checked by check_contract (closed-form body
+                      # md5) + roundtrip/fallback/partition-pinned by
+                      # tests/test_sources.py
+                      "warc_scan"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

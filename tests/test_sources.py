@@ -316,3 +316,55 @@ def test_geoparquet_rerun_clears_stale_parts(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == 1
     assert back.first().name == "pt0"
+
+
+# ------------------------------------------------------------ WARC
+
+def test_warc_roundtrip_gzip_members_and_plain(spark, tmp_path):
+    """write_warc -> read_warc returns every record byte-identical, in
+    both the CC per-record-gzip-member layout and plain WARC; bodies
+    containing the record terminator bytes survive (Content-Length
+    parse, not delimiter scan)."""
+    from tilemaker_spark.sources import read_warc, write_warc
+
+    recs = [(f"https://h{i % 3}.example/p/{i}", "2024-01-01T00:00:00Z",
+             (f"body {i} " + "x" * i).encode()
+             + (b"\r\n\r\nWARC/1.0\r\n" if i % 5 == 0 else b""))
+            for i in range(40)]
+    for gz in (True, False):
+        p = str(tmp_path / f"t{int(gz)}.warc")
+        assert write_warc(p, recs, gzip_members=gz) == 40
+        out = sorted((r.url, r.warc_date, r.rec_type, bytes(r.body))
+                     for r in read_warc(spark, p).collect())
+        assert out == sorted((u, d, "resource", b) for u, d, b in recs)
+
+
+def test_warc_no_index_fallback_matches_index(spark, tmp_path):
+    """Deleting the sidecar index flips read_warc to the driver
+    boundary scan — identical rows, both layouts."""
+    import os
+
+    from tilemaker_spark.sources import read_warc, write_warc
+
+    recs = [(f"https://s.example/{i}", "2024-01-01T00:00:00Z",
+             f"payload {i}".encode()) for i in range(17)]
+    for gz in (True, False):
+        p = str(tmp_path / f"n{int(gz)}.warc")
+        write_warc(p, recs, gzip_members=gz)
+        with_idx = sorted(map(tuple, read_warc(spark, p).collect()))
+        os.remove(p + ".idx")
+        without = sorted(map(tuple, read_warc(spark, p).collect()))
+        assert with_idx == without and len(with_idx) == 17
+
+
+def test_warc_scan_is_partition_parallel(spark, tmp_path):
+    """The offset index drives a genuinely multi-partition scan."""
+    from tilemaker_spark.sources import read_warc, write_warc
+
+    recs = [(f"https://s.example/{i}", "2024-01-01T00:00:00Z", b"b" * i)
+            for i in range(64)]
+    p = str(tmp_path / "p.warc")
+    write_warc(p, recs)
+    df = read_warc(spark, p, partitions=8)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 64

@@ -38,7 +38,7 @@ AUDIT = [
     "classifier_score", "tfidf_keywords", "extract_links",
     "link_pipeline", "url_blocklist", "dedup_paragraphs", "anchor_terms",
     "semantic_dedup", "dsir_select", "host_quota", "curation_funnel",
-    "curated_tiles", "bpe_merges", "bpe_tokenize",
+    "curated_tiles", "bpe_merges", "bpe_tokenize", "warc_scan",
 ]
 
 
