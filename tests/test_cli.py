@@ -149,3 +149,29 @@ def test_bench_stdout_is_one_json_line():
                 "gate_wait_s"):
         assert key in d, key
     assert d["unit"] == "tiles/sec" and d["value"] > 0
+
+
+def test_cli_warc_input(spark, tmp_path):
+    """A .warc.gz positional input drives the full pipeline: records ->
+    extracted-text pages (xxhash64 doc ids) -> tiles; extraction
+    round-trips the source text byte-identically per url."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").collect())
+    from tilemaker_spark.sources import pages_from_warc, write_warc
+    p = str(tmp_path / "crawl.warc.gz")
+    write_warc(p, ((f"https://site.example/p/{r.doc_id}",
+                    "2024-01-01T00:00:00Z",
+                    f"<html><body><p>{r.text}</p></body></html>".encode())
+                   for r in docs))
+    pages = pages_from_warc(spark, p)
+    got = {r.url: r.text for r in pages.collect()}
+    assert got == {f"https://site.example/p/{r.doc_id}": r.text
+                   for r in docs}
+    assert pages.filter("warc_ts IS NULL OR doc_id IS NULL").count() == 0
+
+    out = str(tmp_path / "w.mbtiles")
+    m = cli.main([p, "--output", out, "--store", str(tmp_path / "s"),
+                  "--quiet", "--force"], spark=spark)
+    assert m["written"] > 0 and os.path.exists(out)
+    from tilemaker_spark import sinks
+    assert sinks.read_mbtiles(spark, out).count() == m["written"]

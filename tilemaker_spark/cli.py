@@ -11,7 +11,8 @@ parquet checkpoints + Tungsten replace the hand-rolled node/way stores,
 so there is nothing to toggle.
 
 Inputs: a directory holding documents.parquet (the web-pages table), a
-.osm.pbf file, or both (repeat --input). Output: .mbtiles, .pmtiles,
+.osm.pbf file, a .warc/.warc.gz crawl file (records become extracted-
+text pages), or several (repeat --input). Output: .mbtiles, .pmtiles,
 or a tile directory. --process takes a declarative-profile JSON (the
 Lua analog, see operators.profile_compiler) applied to PBF entities.
 """
@@ -30,8 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="Convert geo-tagged pages / OSM .pbf into vector "
                     "tiles (PySpark-native tilemaker)")
     ap.add_argument("input", nargs="*", default=[],
-                    help="source: dir with documents.parquet and/or "
-                         ".osm.pbf (positional, like the reference)")
+                    help="source: dir with documents.parquet, .osm.pbf, "
+                         "or .warc[.gz] (positional, like the reference)")
     ap.add_argument("--input", dest="input_opt", action="append",
                     default=[], help="additional input (repeatable)")
     ap.add_argument("--table", default=None,
@@ -148,6 +149,10 @@ def main(argv=None, spark=None) -> dict:
                     extra = extra.unionByName(p, allowMissingColumns=True)
                 # the compiled profile REPLACES the built-in way profile
                 nodes = ways = relations = None
+        elif inp.endswith(".warc") or inp.endswith(".warc.gz"):
+            # Common Crawl ingest: WARC records -> extracted-text pages
+            from tilemaker_spark.sources import pages_from_warc
+            pages = pages_from_warc(spark, inp)
         elif os.path.isdir(inp) and os.path.exists(
                 os.path.join(inp, "_spatial_layout.json")):
             # write_pages_spatial layout: --bbox prunes the SCAN to the

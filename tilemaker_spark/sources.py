@@ -1043,3 +1043,25 @@ def read_warc(spark: SparkSession, path: str,
                     rows, columns=["url", "warc_date", "rec_type", "body"])
 
     return off_df.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Mandated pages table (doc_id, url, warc_ts, html, text, lang)
+    straight from a WARC crawl file — the Common Crawl ingest chain:
+    :func:`read_warc` byte ranges → HTML body → JVM-side text
+    extraction. ``doc_id`` is ``xxhash64(url)`` (the
+    `read_pages_table` recipe: deterministic, per-row, no shuffle);
+    ``lang`` is left ``'und'`` for `text_analysis.lang_id` downstream.
+    This is what the CLI runs for a ``.warc`` / ``.warc.gz`` input, so
+    the tile engine points directly at a crawl file."""
+    from tilemaker_spark.operators.text_analysis import (
+        extract_text_from_html)
+
+    w = read_warc(spark, path).withColumnRenamed("body", "html")
+    w = extract_text_from_html(w, html_col="html") \
+        .withColumnRenamed("text_extracted", "text")
+    return w.select(
+        F.xxhash64("url").alias("doc_id"), "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+         .alias("warc_ts"),
+        "html", "text", F.lit("und").alias("lang"))
