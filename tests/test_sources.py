@@ -368,3 +368,37 @@ def test_warc_scan_is_partition_parallel(spark, tmp_path):
     df = read_warc(spark, p, partitions=8)
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 64
+
+
+def test_warc_roundtrip_property_fuzz(spark, tmp_path):
+    """Hypothesis fuzz: arbitrary binary bodies — including gzip
+    magic bytes, CRLF runs, WARC header look-alikes, and empty
+    payloads — survive the write→read roundtrip byte-identically in
+    both layouts. Spark session setup is expensive, so the fuzz drives
+    one parse pass over many drawn records instead of one session per
+    example."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tilemaker_spark.sources import read_warc, write_warc
+
+    bodies = st.binary(min_size=0, max_size=200) | st.sampled_from([
+        b"", b"\x1f\x8b\x08\x00", b"\r\n\r\n", b"WARC/1.0\r\n",
+        b"Content-Length: 99\r\n\r\n", b"\x00" * 64])
+    case = [0]
+
+    @given(st.lists(bodies, min_size=1, max_size=12))
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(bs):
+        case[0] += 1
+        recs = [(f"https://f.example/{i}", "2024-01-01T00:00:00Z", b)
+                for i, b in enumerate(bs)]
+        for gz in (True, False):
+            p = str(tmp_path / f"fz{case[0]}_{int(gz)}.warc")
+            write_warc(p, recs, gzip_members=gz)
+            out = sorted((r.url, bytes(r.body))
+                         for r in read_warc(spark, p).collect())
+            assert out == sorted((u, b) for u, _, b in recs)
+
+    run()

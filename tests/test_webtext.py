@@ -566,3 +566,32 @@ def test_curation_funnel_replay_all_reasons(spark):
         assert out[i].kept == (exp == "kept")
     reasons = {r.reason for r in out.values()}
     assert reasons == {"blocked", "stale", "dup", "quality", "kept"}
+
+
+def test_cap_per_host_property_fuzz(spark):
+    """Hypothesis fuzz: bucketed cap_per_host == naive single-window
+    on random host-skew distributions and caps (one Spark comparison
+    per drawn case)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tilemaker_spark.operators.webtext import (
+        cap_per_host, cap_per_host_naive)
+
+    @given(st.lists(st.integers(min_value=0, max_value=6),
+                    min_size=1, max_size=120),
+           st.integers(min_value=1, max_value=9))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(host_ids, cap):
+        rows = [(i, f"https://h{h}.example/p/{i}")
+                for i, h in enumerate(host_ids)]
+        pages = spark.createDataFrame(rows, "doc_id long, url string")
+        cols = ["doc_id", "host", "n_host_pages", "host_rank"]
+        a = sorted(map(tuple,
+                       cap_per_host(pages, cap).select(*cols).collect()))
+        b = sorted(map(tuple, cap_per_host_naive(pages, cap)
+                       .select(*cols).collect()))
+        assert a == b
+
+    run()
