@@ -412,3 +412,111 @@ def test_batch_fingerprint_is_content_sensitive(spark):
     assert _batch_fingerprint(a) != _batch_fingerprint(b)
     assert _batch_fingerprint(a) == _batch_fingerprint(
         a.orderBy(F.desc("doc_id")))
+
+
+def test_streaming_curation_matches_sequential_replay(spark, tmp_path):
+    """Continuous curation == a pure-Python decision-at-arrival replay
+    across 3 micro-batches, covering every cross-batch case: a dup of
+    a batch-1 survivor arriving in batch 2, an OLDER snapshot arriving
+    after a newer one (stale at arrival), a NEWER snapshot arriving
+    later (kept; the earlier row is not retracted), blocked hosts and
+    quality failures. Restarting the drained stream appends nothing."""
+    import datetime
+    import hashlib
+    import re
+
+    from tilemaker_spark.streaming.curation import (
+        read_curation_decisions, start_streaming_curation)
+
+    good = ("the quick brown fox and a dog of the town go to market "
+            "in the morning and talk of many things " * 2).strip()
+
+    def ts(s):
+        return (datetime.datetime(2024, 1, 1)
+                + datetime.timedelta(seconds=s))
+
+    # (doc_id, url, ts_sec, body)
+    batches = [
+        [(1, "https://a.example/p/1", 10, good + " one"),
+         (2, "https://bad.example/x", 10, good),
+         (3, "https://a.example/p/2", 30, good + " two"),
+         (4, "https://a.example/p/1", 20, good + " newer")],  # in-batch newer
+        [(5, "https://a.example/p/3", 10, good + " two"),     # dup of doc 3
+         (6, "https://a.example/p/1", 5, good + " old"),      # older snap: stale
+         (7, "https://a.example/p/2", 99, good + " fresh"),   # newer snap: kept
+         (8, "https://a.example/p/4", 10, "tiny")],           # quality
+        [(9, "https://a.example/p/5", 10, good + " two"),     # dup (from b1)
+         (10, "https://a.example/p/6", 10, "tiny")],
+    ]
+    pages_dir = str(tmp_path / "pages")
+    os.makedirs(pages_dir)
+    wd = str(tmp_path / "cur")
+    rules = spark.createDataFrame([(1, "host", "bad.example")],
+                                  "rule_id long, kind string, pattern string")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(d, u, ts(s), f"<html><body><p>{b}</p></body></html>"
+              .encode()) for d, u, s, b in rows],
+            "doc_id long, url string, warc_ts timestamp, html binary") \
+            .coalesce(1).write.parquet(f"{pages_dir}/b{i}")
+    q = start_streaming_curation(spark, pages_dir + "/*", wd, rules,
+                                 min_words=10)
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.reason, r.kept)
+           for r in read_curation_decisions(spark, wd).collect()}
+
+    # pure-Python decision-at-arrival replay
+    def extract(b):
+        s = re.sub(r"<[^>]*>", " ", f"<html><body><p>{b}</p></body></html>")
+        return re.sub(r"\s+", " ", s).strip()
+
+    url_state, hash_state, exp = {}, {}, {}
+    for rows in batches:
+        by_url = {}
+        for d, u, s, b in rows:
+            if "bad.example" in u:
+                continue
+            k = (s, d)
+            if u not in by_url or k > by_url[u]:
+                by_url[u] = k
+        surv = []
+        for d, u, s, b in rows:
+            if "bad.example" in u:
+                exp[d] = ("blocked", False)
+            elif (s, d) < by_url[u] or \
+                    (u in url_state and url_state[u] > (s, d)):
+                exp[d] = ("stale", False)
+            else:
+                surv.append((d, u, s, b))
+        bfirst = {}
+        for d, u, s, b in surv:
+            h = hashlib.md5(extract(b).encode()).hexdigest()
+            bfirst.setdefault(h, d)
+        for d, u, s, b in surv:
+            h = hashlib.md5(extract(b).encode()).hexdigest()
+            if h in hash_state or bfirst[h] != d:
+                exp[d] = ("dup", False)
+            elif len(extract(b).split(" ")) < 10:
+                exp[d] = ("quality", False)
+            else:
+                exp[d] = ("kept", True)
+        for u, k in by_url.items():
+            if u not in url_state or k > url_state[u]:
+                url_state[u] = k
+        for d, u, s, b in surv:
+            h = hashlib.md5(extract(b).encode()).hexdigest()
+            hash_state.setdefault(h, d)
+    assert got == exp, (got, exp)
+    # the planted cross-batch behaviors, explicitly
+    assert got[5] == ("dup", False) and got[9] == ("dup", False)
+    assert got[6] == ("stale", False)
+    assert got[7] == ("kept", True) and got[3] == ("kept", True)
+    assert got[2] == ("blocked", False)
+    assert got[8] == ("quality", False)
+
+    # restart: drained stream + same checkpoint adds nothing
+    n0 = read_curation_decisions(spark, wd).count()
+    q2 = start_streaming_curation(spark, pages_dir + "/*", wd, rules,
+                                  min_words=10)
+    q2.awaitTermination(120)
+    assert read_curation_decisions(spark, wd).count() == n0
