@@ -628,6 +628,44 @@ def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_type")
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over synthesized messy urls exercising
+    every rule: mixed-case scheme/host, default and non-default ports,
+    ./.. path segments (nested and root-level), fragments, tracking
+    params, empty params, unsorted duplicates, and empty paths."""
+    from tilemaker_spark.operators.webtext import canonicalize_urls
+    did = F.col("doc_id")
+    h = (did % HOST_MOD).cast("string")
+    ds = did.cast("string")
+    url = (F.when(did % 8 == 0,
+                  F.concat(F.lit("HTTPS://Site"), h,
+                           F.lit(".Example:443/a/./p/"), ds,
+                           F.lit("?utm_source=x&b=2&a=1#f")))
+           .when(did % 8 == 1,
+                 F.concat(F.lit("http://site"), h,
+                          F.lit(".example:80/p/"), ds))
+           .when(did % 8 == 2,
+                 F.concat(F.lit("https://site"), h,
+                          F.lit(".example/x/y/../p/"), ds,
+                          F.lit("?z=1&z=0")))
+           .when(did % 8 == 3,
+                 F.concat(F.lit("https://site"), h, F.lit(".example")))
+           .when(did % 8 == 4,
+                 F.concat(F.lit("https://site"), h, F.lit(".example/p/"),
+                          ds, F.lit("?ref=promo&a=")))
+           .when(did % 8 == 5,
+                 F.concat(F.lit("https://site"), h,
+                          F.lit(".example:8443/p/"), ds))
+           .when(did % 8 == 6,
+                 F.concat(F.lit("https://site"), h,
+                          F.lit(".example/a/b/c/../../p/"), ds))
+           .otherwise(
+                 F.concat(F.lit("https://site"), h, F.lit(".example/./p/"),
+                          ds, F.lit("#frag"))))
+    pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return canonicalize_urls(pages).select("doc_id", "url", "url_canon")
+
+
 FUNNEL_URL_MOD = 250  # snapshots per url ~ n/250 (2 at sf0.01, 20 at sf0.1)
 _FUNNEL_HTML_PRE = ('<html><head><title>T</title><style>p '
                     '</style></head><body><h1>H</h1><p>')
@@ -1624,6 +1662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sibling pbf_scan is pytest-evidenced, and this one IS fully
         # oracle-checked (closed-form body md5) by check_contract
         "warc_scan": _q_warc_scan,
+        # round-5 URL canonicalization; window full — url-family
+        # siblings url_host_stats/url_dedup_latest are in-window,
+        # oracle-checked by tools/check_contract.py
+        "url_canonical": _q_url_canonical,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2699,6 +2741,69 @@ r AS (SELECT doc_id, url, host,
       FROM h)
 SELECT doc_id, url, host, n_host_pages, host_rank
 FROM r WHERE host_rank <= {HOST_CAP}"""
+
+    # url_canonical: the dot-segment passes become one CTE per pass
+    # (same bounded count as the Column chain); root-level '..' passes
+    # nest in a single expression.
+    _root = "path"
+    for _ in range(8):
+        _root = f"regexp_replace({_root}, '^/\\.\\./', '/', 'g')"
+    _root = f"regexp_replace({_root}, '^/\\.\\.$', '/')"
+    _canon_passes = ",\n".join(
+        f"d{_k} AS (SELECT doc_id, url, scheme, host, "
+        f"regexp_replace(regexp_replace(path, '/\\./', '/', 'g'), "
+        f"'/[^/]+/\\.\\./', '/', 'g') AS path, query FROM d{_k - 1})"
+        for _k in range(1, 9))
+    _pext = ("regexp_extract(nofrag, "
+             "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    q["url_canonical"] = f"""
+WITH ids AS (SELECT doc_id, CAST(doc_id % {HOST_MOD} AS VARCHAR) AS h,
+                    CAST(doc_id AS VARCHAR) AS ds FROM documents),
+synth AS (SELECT doc_id,
+  CASE WHEN doc_id % 8 = 0 THEN 'HTTPS://Site' || h
+         || '.Example:443/a/./p/' || ds || '?utm_source=x&b=2&a=1#f'
+       WHEN doc_id % 8 = 1 THEN 'http://site' || h
+         || '.example:80/p/' || ds
+       WHEN doc_id % 8 = 2 THEN 'https://site' || h
+         || '.example/x/y/../p/' || ds || '?z=1&z=0'
+       WHEN doc_id % 8 = 3 THEN 'https://site' || h || '.example'
+       WHEN doc_id % 8 = 4 THEN 'https://site' || h
+         || '.example/p/' || ds || '?ref=promo&a='
+       WHEN doc_id % 8 = 5 THEN 'https://site' || h
+         || '.example:8443/p/' || ds
+       WHEN doc_id % 8 = 6 THEN 'https://site' || h
+         || '.example/a/b/c/../../p/' || ds
+       ELSE 'https://site' || h || '.example/./p/' || ds || '#frag'
+  END AS url FROM ids),
+base AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS hostport,
+  regexp_replace(url, '#.*$', '') AS nofrag FROM synth),
+d0 AS (SELECT doc_id, url, scheme,
+  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+       ELSE hostport END AS host,
+  CASE WHEN {_pext} = '' THEN '/' ELSE {_pext} END AS path,
+  coalesce(regexp_extract(nofrag, '\\?(.*)$', 1), '') AS query
+  FROM base),
+{_canon_passes},
+dt AS (SELECT doc_id, url, scheme, host,
+  regexp_replace(regexp_replace(path, '/\\.$', '/'),
+                 '/[^/]+/\\.\\.$', '/') AS path, query FROM d8),
+dr AS (SELECT doc_id, url, scheme, host, {_root} AS path, query
+       FROM dt),
+qf AS (SELECT doc_id, url, scheme, host, path,
+  coalesce(array_to_string(list_sort(list_filter(string_split(query,
+    '&'), x -> x <> '' AND NOT starts_with(x, 'utm_')
+         AND NOT starts_with(x, 'ref=')
+         AND NOT starts_with(x, 'fbclid=')
+         AND NOT starts_with(x, 'gclid='))), '&'), '') AS qs FROM dr)
+SELECT doc_id, url,
+       scheme || '://' || host || path ||
+       CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_canon
+FROM qf"""
 
     q["pii_scrub"] = f"""
 WITH p AS (

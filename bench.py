@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_tokenize",
     "warc_scan",
+    "url_canonical",
 ]
 
 

@@ -150,7 +150,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # oracle-checked by check_contract (closed-form body
                       # md5) + roundtrip/fallback/partition-pinned by
                       # tests/test_sources.py
-                      "warc_scan"}
+                      "warc_scan",
+                      # round-5 URL canonicalization, added with the window
+                      # already full; url-family siblings url_host_stats /
+                      # url_dedup_latest are in-window, and it is
+                      # oracle-checked by check_contract + edge-case-pinned
+                      # by tests/test_webtext.py
+                      "url_canonical"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

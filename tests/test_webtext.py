@@ -595,3 +595,41 @@ def test_cap_per_host_property_fuzz(spark):
         assert a == b
 
     run()
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    """Every canonicalization rule on hand-picked adversarial urls:
+    case, default vs non-default ports, nested and root-level dot
+    segments, fragments, tracking/empty params, duplicate params,
+    missing path."""
+    from tilemaker_spark.operators.webtext import canonicalize_urls
+
+    cases = [
+        ("HTTPS://Example.COM:443/a/./b/../c?z=1&utm_source=x&a=2&#f",
+         "https://example.com/a/c?a=2&z=1"),
+        ("http://Site.example:80/", "http://site.example/"),
+        ("http://site.example", "http://site.example/"),
+        ("https://s.example/a/b/c/../../d?ref=promo",
+         "https://s.example/a/d"),
+        ("https://s.example/x/../..", "https://s.example/"),
+        ("https://s.example/../../a", "https://s.example/a"),
+        ("https://s.example/p?b=2&a=1&a=0",
+         "https://s.example/p?a=0&a=1&b=2"),
+        ("https://s.example:8443/p", "https://s.example:8443/p"),
+        ("https://s.example/p?utm_a=1&utm_b=2", "https://s.example/p"),
+        ("https://s.example/p/./././q#x?y", "https://s.example/p/q"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "doc_id long, url string")
+    out = {r.doc_id: r.url_canon for r in canonicalize_urls(df).collect()}
+    for i, (u, exp) in enumerate(cases):
+        assert out[i] == exp, (u, out[i], exp)
+    # canonical urls are fixpoints
+    df2 = spark.createDataFrame(
+        [(i, c) for i, (_, c) in enumerate(cases)],
+        "doc_id long, url string")
+    out2 = {r.doc_id: r.url_canon
+            for r in canonicalize_urls(df2).collect()}
+    for i, (_, c) in enumerate(cases):
+        assert out2[i] == c

@@ -686,3 +686,69 @@ def curation_funnel(pages: DataFrame, rules: DataFrame,
                    (F.col("reason") == "kept").alias("kept")))
     out._internal_persists = [surv]
     return out
+
+
+#: bounded regex passes for path dot-segment resolution — each global
+#: pass resolves one nesting level ('a/b/../../' needs two), so 8
+#: passes cover paths nested 8 deep; both engines run the same count.
+_CANON_DOT_PASSES = 8
+
+#: tracking query parameters every crawl pipeline strips (the
+#: utm_/click-id family); compared by prefix before the '=' split.
+CANON_DROP_PARAMS = ("utm_", "ref=", "fbclid=", "gclid=")
+
+
+def canonicalize_urls(pages: DataFrame,
+                      url_col: str = "url") -> DataFrame:
+    """URL canonicalization (the pre-step `url_dedup_latest` and
+    `crawl_delta` assume): a documented RFC 3986 subset plus standard
+    crawl practice, as pure Column expressions with an exact ANSI-SQL
+    twin —
+
+      1. scheme and host lowercased;
+      2. default ports stripped (http:80, https:443);
+      3. fragment removed;
+      4. path ``.`` / ``..`` segments resolved by bounded global
+         regex passes (``_CANON_DOT_PASSES`` nesting levels — both
+         engines run identical passes, so parity holds even past the
+         bound); empty path becomes ``/``;
+      5. query parameters: empties and the ``CANON_DROP_PARAMS``
+         tracking family dropped, the rest sorted bytewise and
+         rejoined (param order never splits a dedup key again).
+
+    Adds ``url_canon``. Zero shuffles — whole-stage codegen over the
+    scan, trivially 1000-executor parallel.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(
+        u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.when(scheme == "http",
+                  F.regexp_replace(hostport, ":80$", "")) \
+        .when(scheme == "https",
+              F.regexp_replace(hostport, ":443$", "")) \
+        .otherwise(hostport)
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    path = F.regexp_extract(
+        nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    for _ in range(_CANON_DOT_PASSES):
+        path = F.regexp_replace(path, "/\\./", "/")
+        path = F.regexp_replace(path, "/[^/]+/\\.\\./", "/")
+    path = F.regexp_replace(path, "/\\.$", "/")
+    path = F.regexp_replace(path, "/[^/]+/\\.\\.$", "/")
+    # root-level '..' clamps to '/' (RFC 3986 remove_dot_segments)
+    for _ in range(_CANON_DOT_PASSES):
+        path = F.regexp_replace(path, "^/\\.\\./", "/")
+    path = F.regexp_replace(path, "^/\\.\\.$", "/")
+    query = F.regexp_extract(nofrag, "\\?(.*)$", 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.startswith("utm_")
+        & ~x.startswith("ref=") & ~x.startswith("fbclid=")
+        & ~x.startswith("gclid="))
+    qs = F.array_join(F.array_sort(keep), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+    return pages.withColumn("url_canon", canon)
