@@ -628,6 +628,15 @@ def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_type")
 
 
+def _q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-count percentile report via the
+    count-histogram decomposition (no doc-level sort anywhere);
+    thresholds in integer arithmetic so no float crosses a ceil
+    boundary."""
+    from tilemaker_spark.operators.text_analysis import token_percentiles
+    return token_percentiles(_docs(spark, sf_dir), group_col="lang")
+
+
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over synthesized messy urls exercising
     every rule: mixed-case scheme/host, default and non-default ports,
@@ -1666,6 +1675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings url_host_stats/url_dedup_latest are in-window,
         # oracle-checked by tools/check_contract.py
         "url_canonical": _q_url_canonical,
+        # round-5 corpus percentile report; window full — token
+        # accounting siblings token_stats/agg_pushdown are in-window,
+        # oracle-checked by tools/check_contract.py
+        "token_percentiles": _q_token_percentiles,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2741,6 +2754,31 @@ r AS (SELECT doc_id, url, host,
       FROM h)
 SELECT doc_id, url, host, n_host_pages, host_rank
 FROM r WHERE host_rank <= {HOST_CAP}"""
+
+    q["token_percentiles"] = """
+WITH h AS (SELECT lang AS g,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                  count(*) AS c
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT g, SUM(c) AS n_docs, SUM(nt * c) AS total_tokens
+      FROM h GROUP BY g),
+cum AS (SELECT h.g, nt,
+               SUM(c) OVER (PARTITION BY h.g ORDER BY nt
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               t.n_docs
+        FROM h JOIN t ON h.g = t.g),
+p1 AS (SELECT g, MIN(nt) AS p1_2 FROM cum
+       WHERE cum >= (1 * n_docs + 1) // 2 GROUP BY g),
+p2 AS (SELECT g, MIN(nt) AS p9_10 FROM cum
+       WHERE cum >= (9 * n_docs + 9) // 10 GROUP BY g),
+p3 AS (SELECT g, MIN(nt) AS p99_100 FROM cum
+       WHERE cum >= (99 * n_docs + 99) // 100 GROUP BY g)
+SELECT t.g AS lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       p1_2, p9_10, p99_100
+FROM t JOIN p1 ON t.g = p1.g JOIN p2 ON t.g = p2.g
+       JOIN p3 ON t.g = p3.g"""
 
     # url_canonical: the dot-segment passes become one CTE per pass
     # (same bounded count as the Column chain); root-level '..' passes

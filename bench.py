@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "warc_scan",
     "url_canonical",
+    "token_percentiles",
 ]
 
 

@@ -156,7 +156,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # url_dedup_latest are in-window, and it is
                       # oracle-checked by check_contract + edge-case-pinned
                       # by tests/test_webtext.py
-                      "url_canonical"}
+                      "url_canonical",
+                      # round-5 corpus percentile report, added with the
+                      # window already full; token accounting siblings
+                      # token_stats/agg_pushdown are in-window, and it is
+                      # oracle-checked by check_contract + brute-force-pinned
+                      # by tests/test_text_lm.py
+                      "token_percentiles"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

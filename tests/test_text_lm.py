@@ -249,3 +249,35 @@ def test_apply_bpe_matches_replay_and_counts(spark):
     out0 = {r.doc_id: r for r in apply_bpe(docs, []).collect()}
     for i in out0:
         assert out0[i].n_bpe_tokens == out0[i].n_chars
+
+
+def test_token_percentiles_brute_force(spark):
+    """Histogram-decomposed percentiles == a per-group sort replay,
+    including groups of size 1 and ceil-boundary group sizes (n=10
+    with p=9/10 lands exactly on the boundary the float path gets
+    wrong)."""
+    import collections
+
+    from tilemaker_spark.operators.text_analysis import token_percentiles
+
+    rows, did = [], 0
+    for lang, sizes in [("a", [3, 7, 7, 9, 20]), ("b", [5]),
+                        ("c", list(range(1, 11)))]:
+        for s in sizes:
+            rows.append((did, " ".join("w" for _ in range(s)), lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = token_percentiles(docs)
+    got = {r.lang: tuple(r)[1:] for r in out.collect()}
+    for h in out._internal_persists:
+        h.unpersist()
+
+    data = collections.defaultdict(list)
+    for _, t, lg in rows:
+        data[lg].append(len(t.split(" ")))
+    for lg, nts in data.items():
+        nts.sort()
+        n = len(nts)
+        exp = tuple(nts[-(-num * n // den) - 1]
+                    for num, den in ((1, 2), (9, 10), (99, 100)))
+        assert got[lg] == (n, sum(nts)) + exp, (lg, got[lg], exp)

@@ -679,3 +679,53 @@ def apply_bpe(docs: DataFrame, merges) -> DataFrame:
                  F.sum(F.size(F.split(
                      F.expr("trim(BOTH '|' FROM _seq)"), "[|]")))
                   .cast("long").alias("n_bpe_tokens")))
+
+
+def token_percentiles(docs: DataFrame, group_col: str = "lang",
+                      ps=((1, 2), (9, 10), (99, 100))) -> DataFrame:
+    """Per-group EXACT token-count percentiles — the corpus size
+    report every training-mix decision starts from (how long are the
+    docs of each language/source, where do the tails sit).
+
+    Percentiles are given as integer rationals (num, den): the p-th
+    percentile is the smallest token count whose cumulative doc count
+    reaches ``ceil(num·n/den)``, computed with INTEGER arithmetic
+    (``(num·n + den - 1) div den``) — ``0.9 * n`` in floats crosses
+    ceil boundaries (0.9·500 → 450.0000…03 → ceil 451), the same class
+    of bug as the dyadic-sum rule, so no float ever touches the rank.
+
+    Returns one row per group: (group, n_docs, total_tokens,
+    p{num}_{den}... as p50-style names) — columns ``p_num_den``.
+
+    Scale shape: the build_vocab count-histogram recipe — ONE
+    map-side-combinable groupBy(group, n_tokens), a per-group window
+    over the HISTOGRAM (rows = distinct token counts per group, never
+    docs), and a broadcast-size totals join. A naive per-group
+    percentile window would sort every doc of a language in one
+    partition; this never materializes doc-level order at all.
+    """
+    from pyspark.sql import Window
+
+    nt = F.size(F.split("text", " ")).cast("long")
+    hist = (docs.select(F.col(group_col).alias("g"), nt.alias("nt"))
+            .groupBy("g", "nt").agg(F.count("*").alias("c"))
+            .persist())
+    totals = hist.groupBy("g").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("nt") * F.col("c")).alias("total_tokens"))
+    w = (Window.partitionBy("g").orderBy("nt")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("cum", F.sum("c").over(w)).join(totals, "g")
+
+    out = totals
+    for num, den in ps:
+        # `div` is INTEGER division — (num·n + den-1)/den in doubles
+        # can sit a ulp off an exact ceil boundary
+        thr = F.expr(f"({num} * n_docs + {den - 1}) div {den}")
+        pcol = (cum.filter(F.col("cum") >= thr)
+                .groupBy("g")
+                .agg(F.min("nt").alias(f"p{num}_{den}")))
+        out = out.join(pcol, "g")
+    out = out.withColumnRenamed("g", group_col)
+    out._internal_persists = [hist]
+    return out
