@@ -628,6 +628,35 @@ def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_type")
 
 
+def _q_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-permission screen over synthesized robots
+    bodies exercising group scoping (a bot-specific Disallow:/ must not
+    leak into the * group), longest-prefix Allow-beats-Disallow
+    (/p/special vs /p), CRLF lines, empty Disallow, hosts with no
+    robots, and block-all hosts."""
+    from tilemaker_spark.operators.webtext import robots_screen
+    did = F.col("doc_id")
+    hn = did % HOST_MOD
+    path = F.when(did % 11 == 0,
+                  F.concat(F.lit("/p/special/x"), did.cast("string"))) \
+            .otherwise(F.concat(F.lit("/p/"), did.cast("string")))
+    url = F.concat(F.lit("https://site"), hn.cast("string"),
+                   F.lit(".example"), path)
+    pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    hosts = _docs(spark, sf_dir).select(hn.alias("hn")) \
+        .distinct().filter(F.col("hn") % 3 != 0)
+    txt = F.when(
+        F.col("hn") % 3 == 1,
+        F.lit("User-agent: bot\nDisallow: /\r\nUser-agent: *\n"
+              "Allow: /p/special\nDisallow: /p\nDisallow:")) \
+        .otherwise(F.lit("User-agent: *\nDisallow: /"))
+    robots = hosts.select(
+        F.concat(F.lit("site"), F.col("hn").cast("string"),
+                 F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"))
+    return robots_screen(pages, robots)
+
+
 def _q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact token-count percentile report via the
     count-histogram decomposition (no doc-level sort anywhere);
@@ -1679,6 +1708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # accounting siblings token_stats/agg_pushdown are in-window,
         # oracle-checked by tools/check_contract.py
         "token_percentiles": _q_token_percentiles,
+        # round-5 robots.txt crawl-permission screen; window full —
+        # URL-screen sibling url_blocklist is oracle-checked above,
+        # this one by tools/check_contract.py
+        "robots_screen": _q_robots_screen,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -2754,6 +2787,52 @@ r AS (SELECT doc_id, url, host,
       FROM h)
 SELECT doc_id, url, host, n_host_pages, host_rank
 FROM r WHERE host_rank <= {HOST_CAP}"""
+
+    q["robots_screen"] = f"""
+WITH ids AS (SELECT doc_id, doc_id % {HOST_MOD} AS hn FROM documents),
+pages AS (SELECT doc_id,
+    'https://site' || CAST(hn AS VARCHAR) || '.example' ||
+      CASE WHEN doc_id % 11 = 0 THEN '/p/special/x' || CAST(doc_id AS VARCHAR)
+           ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS url,
+    'site' || CAST(hn AS VARCHAR) || '.example' AS host,
+    CASE WHEN doc_id % 11 = 0 THEN '/p/special/x' || CAST(doc_id AS VARCHAR)
+         ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path, hn FROM ids),
+hosts AS (SELECT DISTINCT hn FROM ids WHERE hn % 3 <> 0),
+robots AS (SELECT 'site' || CAST(hn AS VARCHAR) || '.example' AS host,
+    CASE WHEN hn % 3 = 1 THEN
+      'User-agent: bot' || chr(10) || 'Disallow: /' || chr(13) || chr(10)
+      || 'User-agent: *' || chr(10) || 'Allow: /p/special' || chr(10)
+      || 'Disallow: /p' || chr(10) || 'Disallow:'
+    ELSE 'User-agent: *' || chr(10) || 'Disallow: /' END AS txt FROM hosts),
+l0 AS (SELECT host, string_split(txt, chr(10)) AS ls FROM robots),
+l AS (SELECT host, CAST(i AS BIGINT) AS i,
+             regexp_replace(ls[i], chr(13) || '$', '') AS line
+      FROM l0, UNNEST(range(1, len(ls) + 1)) t(i)),
+grp AS (SELECT host, i, line,
+  last_value(CASE WHEN starts_with(line, 'User-agent:')
+                  THEN trim(substr(line, 12)) END IGNORE NULLS)
+    OVER (PARTITION BY host ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM l),
+rules AS (SELECT host,
+    CASE WHEN starts_with(line, 'Allow:') THEN 'allow'
+         WHEN starts_with(line, 'Disallow:') THEN 'disallow' END AS kind,
+    CASE WHEN starts_with(line, 'Allow:') THEN trim(substr(line, 7))
+         ELSE trim(substr(line, 10)) END AS prefix
+  FROM grp WHERE g = '*'
+    AND (starts_with(line, 'Allow:') OR starts_with(line, 'Disallow:'))),
+r2 AS (SELECT * FROM rules WHERE prefix <> ''),
+m AS (SELECT doc_id,
+             max(struct_pack(l := length(prefix),
+                             a := CAST(kind = 'allow' AS INT),
+                             prefix := prefix, kind := kind)) AS mm
+      FROM pages JOIN r2 USING (host)
+      WHERE starts_with(path, prefix) GROUP BY doc_id)
+SELECT p.doc_id, p.url, p.host, p.path,
+       coalesce((mm).kind, 'none') AS rule_kind,
+       coalesce((mm).prefix, '') AS matched_prefix,
+       ((mm).kind IS NULL OR (mm).kind = 'allow') AS crawl_allowed
+FROM pages p LEFT JOIN m ON p.doc_id = m.doc_id"""
 
     q["token_percentiles"] = """
 WITH h AS (SELECT lang AS g,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "warc_scan",
     "url_canonical",
     "token_percentiles",
+    "robots_screen",
 ]
 
 

@@ -162,7 +162,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # token_stats/agg_pushdown are in-window, and it is
                       # oracle-checked by check_contract + brute-force-pinned
                       # by tests/test_text_lm.py
-                      "token_percentiles"}
+                      "token_percentiles",
+                      # round-5 robots.txt crawl-permission screen, added
+                      # with the window already full; URL-screen sibling
+                      # url_blocklist covers the family, and it is
+                      # oracle-checked by check_contract + semantics-pinned
+                      # by tests/test_webtext.py
+                      "robots_screen"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

@@ -633,3 +633,33 @@ def test_canonicalize_urls_edge_cases(spark):
             for r in canonicalize_urls(df2).collect()}
     for i, (_, c) in enumerate(cases):
         assert out2[i] == c
+
+
+def test_robots_screen_semantics(spark):
+    """robots.txt rule semantics: * -group scoping (bot rules don't
+    leak), longest-prefix match, Allow beats Disallow on equal length,
+    CRLF lines, empty Disallow ignored, missing robots = allowed."""
+    from tilemaker_spark.operators.webtext import robots_screen
+
+    robots = spark.createDataFrame([
+        ("a.example",
+         "User-agent: bot\nDisallow: /\r\n"
+         "User-agent: *\nAllow: /pub\nDisallow: /p\nDisallow:"),
+        ("b.example", "User-agent: *\nAllow: /x\nDisallow: /x"),
+    ], "host string, robots_txt string")
+    pages = spark.createDataFrame([
+        (0, "https://a.example/p/1"),        # disallow via /p
+        (1, "https://a.example/pub/1"),      # allow /pub (len 4 > 2)
+        (2, "https://a.example/other"),      # no match -> allowed
+        (3, "https://www.A.example/p/2"),    # www+case normalized
+        (4, "https://b.example/x/1"),        # equal len: Allow wins
+        (5, "https://c.example/p/9"),        # no robots -> allowed
+    ], "doc_id long, url string")
+    got = {r.doc_id: (r.rule_kind, r.matched_prefix, r.crawl_allowed)
+           for r in robots_screen(pages, robots).collect()}
+    assert got[0] == ("disallow", "/p", False)
+    assert got[1] == ("allow", "/pub", True)
+    assert got[2] == ("none", "", True)
+    assert got[3] == ("disallow", "/p", False)
+    assert got[4] == ("allow", "/x", True)
+    assert got[5] == ("none", "", True)

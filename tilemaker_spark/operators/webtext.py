@@ -752,3 +752,80 @@ def canonicalize_urls(pages: DataFrame,
         scheme, F.lit("://"), host, path,
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
     return pages.withColumn("url_canon", canon)
+
+
+def parse_robots_rules(robots: DataFrame, host_col: str = "host",
+                       txt_col: str = "robots_txt") -> DataFrame:
+    """Parse robots.txt bodies into (host, kind, prefix) rules for the
+    ``*`` user-agent group(s) — the crawl-permission gate before any
+    fetch enters the corpus.
+
+    Grouping follows the spec: a rule line belongs to the most recent
+    ``User-agent:`` line above it; only ``*`` groups are kept (a
+    stricter bot-specific group must not leak into the generic crawl).
+    The carry is one ``last(..., ignorenulls)`` window per host over
+    the LINE table — robots files are tiny, so this window is bounded
+    by the file's line count. CRLF bodies are normalized; empty
+    Disallow lines (allow-all) drop out naturally. Documented subset:
+    plain path prefixes only (no ``*``/``$`` wildcards)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(txt_col, "\n")).alias("i", "line"))
+    lines = lines.withColumn(
+        "line", F.regexp_replace("line", "\\r$", ""))
+    agent = F.when(F.col("line").startswith("User-agent:"),
+                   F.trim(F.expr("substring(line, 12)")))
+    w = (Window.partitionBy("host").orderBy("i")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    g = lines.withColumn("grp", F.last(agent, ignorenulls=True).over(w))
+    kind = (F.when(F.col("line").startswith("Allow:"), "allow")
+            .when(F.col("line").startswith("Disallow:"), "disallow"))
+    prefix = (F.when(F.col("line").startswith("Allow:"),
+                     F.trim(F.expr("substring(line, 7)")))
+              .otherwise(F.trim(F.expr("substring(line, 10)"))))
+    return (g.filter(F.col("grp") == "*")
+            .withColumn("kind", kind)
+            .withColumn("prefix", prefix)
+            .filter(F.col("kind").isNotNull() & (F.col("prefix") != ""))
+            .select("host", "kind", "prefix"))
+
+
+def robots_screen(pages: DataFrame, robots: DataFrame) -> DataFrame:
+    """Apply robots.txt rules to crawled pages: per page, the winning
+    rule under longest-prefix-match with Allow beating Disallow on
+    ties (the published Google semantics), missing robots or no match
+    = allowed. ``robots`` is (host, robots_txt) keyed by NORMALIZED
+    host (lowercase, www-stripped — `url_host_stats` normalization).
+
+    Returns (doc_id, url, host, path, rule_kind, matched_prefix,
+    crawl_allowed) for every page.
+
+    Scale shape: the rule table is O(hosts × rules-per-file) — a
+    host-keyed equi-join against the page projection (broadcastable
+    for bounded rule sets, hash join beyond); the winner is one
+    map-side-combinable max-of-struct groupBy; page bodies never enter
+    the match."""
+    rules = parse_robots_rules(robots)
+    path = F.regexp_extract(
+        "url", "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    p = (pages.withColumn("host", _norm_host())
+         .withColumn("path",
+                     F.when(path == "", F.lit("/")).otherwise(path)))
+    m = (p.select("doc_id", "host", "path")
+         .join(rules, "host")
+         .filter(F.col("path").startswith(F.col("prefix")))
+         .groupBy("doc_id")
+         .agg(F.max(F.struct(
+             F.length("prefix").alias("l"),
+             (F.col("kind") == "allow").cast("int").alias("a"),
+             F.col("prefix").alias("prefix"),
+             F.col("kind").alias("kind"))).alias("m")))
+    return (p.join(m, "doc_id", "left")
+            .select("doc_id", "url", "host", "path",
+                    F.coalesce(F.col("m.kind"), F.lit("none"))
+                     .alias("rule_kind"),
+                    F.coalesce(F.col("m.prefix"), F.lit(""))
+                     .alias("matched_prefix"),
+                    (F.col("m.kind").isNull() |
+                     (F.col("m.kind") == "allow"))
+                    .alias("crawl_allowed")))

@@ -39,7 +39,7 @@ AUDIT = [
     "link_pipeline", "url_blocklist", "dedup_paragraphs", "anchor_terms",
     "semantic_dedup", "dsir_select", "host_quota", "curation_funnel",
     "curated_tiles", "bpe_merges", "bpe_tokenize", "warc_scan",
-    "url_canonical", "token_percentiles",
+    "url_canonical", "token_percentiles", "robots_screen",
 ]
 
 
