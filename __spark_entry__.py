@@ -1152,6 +1152,43 @@ def _q_area_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("inter_area", 8).alias("inter_area"))
 
 
+def _q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (dasymetric reaggregation): transfer a
+    per-source-polygon value onto the probe rectangles weighted by
+    intersection area / source area — THE classic GIS reaggregation
+    (census tracts -> service areas), composed from the J5 overlay
+    kernel. est_value = Σ v_src · area(src∩tgt)/area(src).
+
+    Float discipline: the kernel's inter_area is rounded to 8 decimals
+    first (exactly what the hash-green area_join row proves matches the
+    closed form), each weight term is a product/quotient of matching
+    doubles (error ~1 ulp), and the per-rect sum has ≤ ~8 terms — so
+    rounding the SUM to 4 decimals leaves a boundary-flip risk of
+    ~1e-11, far below the dyadic-sum regime (75 terms at 6 decimals)
+    that bit classifier_score."""
+    from tilemaker_spark.fixtures import make_layer_polygons
+    from tilemaker_spark.operators.spatial_join import (
+        area_intersecting_polygons)
+    polys = make_layer_polygons(spark).filter(F.col("layer") == "countries")
+    inter = area_intersecting_polygons(_rect_features(spark), polys)
+    i = F.substring("name", 2, 1).cast("int")
+    j = F.substring("name", 3, 1).cast("int")
+    v = ((i * 31 + j * 7) % 100).cast("double")
+
+    def latp(deg):
+        return F.degrees(F.log(F.tan(F.radians((deg + 90.0) / 2.0))))
+
+    cell_area = latp(F.lit(38.0) + j + 1) - latp(F.lit(38.0) + j)
+    w = F.round("inter_area", 8) / cell_area
+    return (inter
+            .select(F.col("feature_id").alias("rect_id"),
+                    (v * w).alias("t"), w.alias("w"))
+            .groupBy("rect_id")
+            .agg(F.count("*").cast("long").alias("n_src"),
+                 F.round(F.sum("t"), 4).alias("est_value"),
+                 F.round(F.sum("w"), 4).alias("w_sum")))
+
+
 # Concave / multi-ring build polygons for the J5 overlay-kernel oracle:
 # L-shapes (concave, 6 vertices) and donuts (outer + hole). All edges
 # axis-aligned in (lon, lat) so the SQL twin decomposes each build into
@@ -1712,6 +1749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # URL-screen sibling url_blocklist is oracle-checked above,
         # this one by tools/check_contract.py
         "robots_screen": _q_robots_screen,
+        # round-5 areal interpolation (GIS reaggregation composed from
+        # the J5 overlay kernel); window full — area_join_concave is
+        # the in-window kernel evidence, this one oracle-checked by
+        # tools/check_contract.py
+        "areal_interp": _q_areal_interp,
         # rows-only by design (non-SQL-expressible), each twinned above
         "pbf_scan": _q_pbf_scan,
         "tiles_e2e": _q_tiles_e2e,
@@ -3189,6 +3231,30 @@ pairs AS (
   WHERE rx0 <= sx1 AND rx1 >= sx0 AND ry0 <= sy1 AND ry1 >= sy0)
 SELECT rect_id, name, round(ox * oy, 8) AS inter_area
 FROM pairs WHERE ox * oy > 0"""
+
+    q["areal_interp"] = f"""
+WITH {_rect_sql()},
+squares AS (
+  SELECT i, j, -5.0 + i AS sx0, 38.0 + j AS sy0,
+         -4.0 + i AS sx1, 39.0 + j AS sy1
+  FROM range(10) s(i), range(10) t(j)),
+pairs AS (
+  SELECT rect_id, i, j,
+         greatest(0.0, least(rx1, sx1) - greatest(rx0, sx0)) AS ox,
+         greatest(0.0,
+                  {latp_of.format(v='least(ry1, sy1)')}
+                  - {latp_of.format(v='greatest(ry0, sy0)')}) AS oy
+  FROM rects, squares
+  WHERE rx0 <= sx1 AND rx1 >= sx0 AND ry0 <= sy1 AND ry1 >= sy0),
+vals AS (
+  SELECT rect_id, CAST((i * 31 + j * 7) % 100 AS DOUBLE) AS v,
+         round(ox * oy, 8) /
+         ({latp_of.format(v='38.0 + j + 1')}
+          - {latp_of.format(v='38.0 + j')}) AS w
+  FROM pairs WHERE ox * oy > 0)
+SELECT rect_id, CAST(count(*) AS BIGINT) AS n_src,
+       round(SUM(v * w), 4) AS est_value, round(SUM(w), 4) AS w_sum
+FROM vals GROUP BY rect_id"""
 
     # J5 concave/multi-ring: each build polygon decomposes into SIGNED
     # axis-aligned rectangles (L = two rects, donut = outer - hole), so

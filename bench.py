@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "url_canonical",
     "token_percentiles",
     "robots_screen",
+    "areal_interp",
 ]
 
 

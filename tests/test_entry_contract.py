@@ -168,7 +168,13 @@ REDUNDANT_VARIANTS = {"area_join", "knn_sparse", "simhash_pairs_wide",
                       # url_blocklist covers the family, and it is
                       # oracle-checked by check_contract + semantics-pinned
                       # by tests/test_webtext.py
-                      "robots_screen"}
+                      "robots_screen",
+                      # round-5 areal interpolation, added with the window
+                      # already full; the overlay kernel it composes is
+                      # in-window (area_join_concave), and it is
+                      # oracle-checked by check_contract (closed-form latp
+                      # twin)
+                      "areal_interp"}
 
 # Rows-only by design (non-SQL-expressible); each has a SQL-checkable
 # scalar twin INSIDE the window.

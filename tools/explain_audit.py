@@ -40,6 +40,7 @@ AUDIT = [
     "semantic_dedup", "dsir_select", "host_quota", "curation_funnel",
     "curated_tiles", "bpe_merges", "bpe_tokenize", "warc_scan",
     "url_canonical", "token_percentiles", "robots_screen",
+    "areal_interp",
 ]
 
 
